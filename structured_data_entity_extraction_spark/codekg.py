@@ -1,0 +1,343 @@
+"""North-rule pipeline: code-corpus knowledge-graph construction over
+``repos_src(repo, path, commit, lang, content)`` (BASELINE.json).
+
+The reference's extraction semantics generalized to source code
+(SURVEY.md §2.3 "code-corpus re-targeting"): keyword/pattern-anchored
+mention detection per content blob -> broadcast-dictionary +
+MinHash-LSH entity linking -> connected-components canonicalization ->
+(subj, pred, obj) triple materialization.
+
+Stages (each a narrow map or an explicitly-keyed shuffle):
+  A extract  -- one Arrow pUDF pass: imports / function & class
+                declarations / config key-values / identifiers
+  B link     -- broadcast equi-join on the alias dim; unmatched values
+                go through MinHash-LSH (char-3-gram Jaccard) blocking
+  C canonize -- CC label propagation merges transitive alias chains
+  D triples  -- doc/repo/entity triples, partitioned (repo_bucket, lang)
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from .cc import connected_components
+from .schemas import CODE_MENTIONS_ARRAY
+
+# ------------------------------------------------------- extraction spec
+#
+# Per-lang anchored patterns -- the code analogue of the per-field anchor
+# lists in extractorAvaluos.py:93,117,551,649,749,876,908. Compiled once
+# per executor at import.
+
+_IMPORT_PATTERNS = {
+    "python": [r"^\s*import\s+([\w.]+)", r"^\s*from\s+([\w.]+)\s+import\b"],
+    "javascript": [
+        r"""require\(\s*['"]([^'"]+)['"]\s*\)""",
+        r"""^\s*import\b[^'"]*['"]([^'"]+)['"]""",
+    ],
+    "rust": [r"^\s*use\s+([A-Za-z_][\w:]*)"],
+    "go": [r"""import\s+"([^"]+)\""""],
+}
+_DEF_PATTERNS = {
+    "python": [r"^\s*def\s+(\w+)\s*\("],
+    "javascript": [r"\bfunction\s+(\w+)\s*\(", r"\bconst\s+(\w+)\s*=\s*\("],
+    "rust": [r"\bfn\s+(\w+)\s*\("],
+    "go": [r"\bfunc\s+(\w+)\s*\("],
+}
+_CLASS_PATTERNS = {
+    "python": [r"^\s*class\s+(\w+)"],
+    "javascript": [r"\bclass\s+(\w+)"],
+    "rust": [r"\b(?:struct|enum|trait)\s+(\w+)"],
+    "go": [r"\btype\s+(\w+)\s+struct\b"],
+}
+_CONFIG_PATTERNS = {
+    "yaml": [r"^([\w.-]+)\s*:"],
+    "ini": [r"^([\w.-]+)\s*="],
+}
+_IDENT_RE = re.compile(r"\b[A-Za-z_][A-Za-z0-9_]{2,}\b")
+_KEYWORDS = frozenset(
+    "def class import from return if else elif for while in not and or is None True False "
+    "fn use let mut pub struct enum impl match func type var const function require "
+    "new this self super try except finally with as lambda yield async await".split()
+)
+_MAX_IDENTS = 50
+
+_compiled: dict = {}
+
+
+def _pats(table: dict, lang: str):
+    key = (id(table), lang)
+    if key not in _compiled:
+        _compiled[key] = [re.compile(p, re.MULTILINE) for p in table.get(lang, [])]
+    return _compiled[key]
+
+
+def _extract_code_one(content: str, lang: str) -> list[dict]:
+    if not content:
+        return []
+    out = []
+    for field, table in (
+        ("import", _IMPORT_PATTERNS),
+        ("def", _DEF_PATTERNS),
+        ("class", _CLASS_PATTERNS),
+        ("config", _CONFIG_PATTERNS),
+    ):
+        for rx in _pats(table, lang):
+            for m in rx.finditer(content):
+                out.append(
+                    {"field": field, "value": m.group(1), "span_start": m.start(1)}
+                )
+    # distinct identifiers, first-occurrence order, bounded
+    seen = set()
+    for m in _IDENT_RE.finditer(content):
+        v = m.group(0)
+        if v in _KEYWORDS or v in seen:
+            continue
+        seen.add(v)
+        out.append({"field": "ident", "value": v, "span_start": m.start()})
+        if len(seen) >= _MAX_IDENTS:
+            break
+    return out
+
+
+@pandas_udf(CODE_MENTIONS_ARRAY)
+def extract_code_udf(content: pd.Series, lang: pd.Series) -> pd.Series:
+    return pd.Series(
+        [_extract_code_one(c, l) for c, l in zip(content, lang)], dtype=object
+    )
+
+
+# ------------------------------------------------------------ stage A
+
+
+def extract_code_mentions(repos_src: DataFrame, bucket_count: int = 64) -> DataFrame:
+    """repos_src -> mentions(doc_id, repo, repo_bucket, path, lang, field,
+    value, span_start, content_sha). doc_id and content_sha per
+    BASELINE.json:input_hint; repo_bucket = pmod(xxhash64(repo), B) is the
+    output partition key AND the salting basis for skewed repos."""
+    withid = repos_src.select(
+        F.sha2(
+            F.concat_ws("\x00", F.col("repo"), F.col("path"), F.col("commit")), 256
+        ).alias("doc_id"),
+        "repo",
+        F.pmod(F.xxhash64("repo"), F.lit(bucket_count)).cast("int").alias("repo_bucket"),
+        "path",
+        "lang",
+        F.sha2(F.coalesce(F.col("content"), F.lit("")), 256).alias("content_sha"),
+        "content",
+    )
+    return withid.select(
+        "doc_id",
+        "repo",
+        "repo_bucket",
+        "path",
+        "lang",
+        "content_sha",
+        F.explode(extract_code_udf("content", "lang")).alias("m"),
+    ).select(
+        "doc_id", "repo", "repo_bucket", "path", "lang", "content_sha",
+        "m.field", "m.value", "m.span_start",
+    )
+
+
+# ------------------------------------------------------------- alias dim
+
+
+def default_code_alias_rows() -> list[tuple[str, str]]:
+    """Seeded (alias, canonical) module-alias dim with transitive chains
+    (FIXTURES.md §3 `code_alias`) -- the code analogue of the reference's
+    state/municipality dictionaries."""
+    rows = [
+        ("np", "numpy"), ("numpy", "numpy"),
+        ("pd", "pandas"), ("pandas", "pandas"),
+        ("plt", "matplotlib"), ("matplotlib", "matplotlib"),
+        ("lodash-es", "lodash"), ("lodash", "lodash"), ("underscore", "lodash"),
+        ("react-dom", "react"), ("react", "react"),
+        ("tokio-core", "tokio"), ("tokio", "tokio"),
+        ("encoding/json", "encoding/json"), ("json", "encoding/json"),
+        ("net/http", "net/http"), ("http", "net/http"),
+        ("os.path", "os"), ("os", "os"),
+        ("collections.abc", "collections"), ("collections", "collections"),
+    ]
+    return rows
+
+
+def code_alias_dim(spark: SparkSession, rows=None) -> DataFrame:
+    schema = T.StructType(
+        [
+            T.StructField("alias", T.StringType(), False),
+            T.StructField("canonical", T.StringType(), False),
+        ]
+    )
+    return spark.createDataFrame(rows or default_code_alias_rows(), schema)
+
+
+# ------------------------------------------------------------- stage B
+
+
+def _char_ngrams(s: str, n: int = 3) -> list[str]:
+    s = f"^{s}$"
+    return [s[i : i + n] for i in range(max(1, len(s) - n + 1))]
+
+
+@pandas_udf(T.ArrayType(T.StringType()))
+def ngrams_udf(vals: pd.Series) -> pd.Series:
+    return vals.map(lambda v: _char_ngrams(v or ""))
+
+
+def link_mentions(
+    mentions: DataFrame,
+    alias_dim: DataFrame,
+    lsh_threshold: float = 0.5,
+    use_lsh: bool = True,
+) -> DataFrame:
+    """mentions + alias dim -> candidates(doc_id, field, value, canonical,
+    score, method). Exact alias hits via broadcast equi-join (method=
+    'dict', score=1.0); misses among import mentions go through
+    MinHash-LSH char-3-gram blocking (method='lsh', score=1-jaccardDist).
+
+    The LSH side joins DISTINCT values against the dim -- candidate
+    generation is value-level, then rejoined to mentions, so the
+    expensive approx join runs on |distinct misses| not |mentions|.
+    """
+    dict_hits = mentions.join(
+        F.broadcast(alias_dim), mentions.value == alias_dim.alias, "left"
+    ).select(
+        mentions["*"],
+        F.col("canonical"),
+        F.when(F.col("canonical").isNotNull(), F.lit(1.0)).alias("score"),
+        F.when(F.col("canonical").isNotNull(), F.lit("dict")).alias("method"),
+    )
+    if not use_lsh:
+        return dict_hits
+
+    misses = (
+        dict_hits.filter(F.col("canonical").isNull() & (F.col("field") == "import"))
+        .select("value")
+        .distinct()
+        .filter(F.length("value") >= 2)
+    )
+    if misses.isEmpty():
+        return dict_hits
+
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    tf = HashingTF(inputCol="grams", outputCol="features", numFeatures=1 << 16)
+    a = tf.transform(misses.withColumn("grams", ngrams_udf("value")))
+    b = tf.transform(
+        alias_dim.select("alias", "canonical").withColumn("grams", ngrams_udf("alias"))
+    )
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=4, seed=42)
+    model = lsh.fit(a)
+    sim = model.approxSimilarityJoin(a, b, 1.0 - lsh_threshold, distCol="dist")
+    # best dim match per value (deterministic tiebreak on canonical)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("value").orderBy("dist", "lsh_canonical")
+    lsh_map = (
+        sim.select(
+            F.col("datasetA.value").alias("value"),
+            F.col("datasetB.canonical").alias("lsh_canonical"),
+            "dist",
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("value", "lsh_canonical", (1.0 - F.col("dist")).alias("lsh_score"))
+    )
+    return (
+        dict_hits.join(lsh_map, "value", "left")
+        .select(
+            *[c for c in mentions.columns],
+            F.coalesce("canonical", "lsh_canonical").alias("canonical"),
+            F.coalesce("score", "lsh_score").alias("score"),
+            F.coalesce(
+                "method", F.when(F.col("lsh_canonical").isNotNull(), F.lit("lsh"))
+            ).alias("method"),
+        )
+    )
+
+
+# ------------------------------------------------------------- stage C
+
+
+def canonicalize(candidates: DataFrame, alias_dim: DataFrame) -> DataFrame:
+    """Merge transitive alias chains: edges = dim alias->canonical pairs
+    + LSH-matched value->canonical pairs; CC gives every surface form a
+    component; the component's canonical name is its lexicographically
+    smallest dim canonical (else smallest member). Returns
+    nodes(surface, entity_id, canonical)."""
+    dim_edges = alias_dim.select(
+        F.col("alias").alias("src"), F.col("canonical").alias("dst")
+    )
+    lsh_edges = (
+        candidates.filter(F.col("canonical").isNotNull())
+        .select(F.col("value").alias("src"), F.col("canonical").alias("dst"))
+        .distinct()
+    )
+    comp = connected_components(dim_edges.unionByName(lsh_edges))
+    # preferred canonical per component: min dim canonical present in it
+    dim_canon = (
+        comp.join(alias_dim, comp.node == alias_dim.canonical, "inner")
+        .groupBy("component")
+        .agg(F.min("canonical").alias("dim_canonical"))
+    )
+    return (
+        comp.join(dim_canon, "component", "left")
+        .select(
+            F.col("node").alias("surface"),
+            F.col("component").alias("entity_id"),
+            F.coalesce("dim_canonical", "component").alias("canonical"),
+        )
+    )
+
+
+# ------------------------------------------------------------- stage D
+
+
+def build_triples(candidates: DataFrame, nodes: DataFrame) -> DataFrame:
+    """candidates + canonical nodes -> (subj, pred, obj) triples."""
+    pred = (
+        F.when(F.col("field") == "import", F.lit("imports"))
+        .when(F.col("field") == "def", F.lit("declares_function"))
+        .when(F.col("field") == "class", F.lit("declares_class"))
+        .when(F.col("field") == "config", F.lit("has_config_key"))
+        .otherwise(F.lit("mentions_identifier"))
+    )
+    linked = candidates.join(
+        nodes.select(F.col("surface").alias("value"), "canonical").withColumnRenamed(
+            "canonical", "node_canonical"
+        ),
+        "value",
+        "left",
+    )
+    doc_triples = linked.select(
+        F.col("doc_id").alias("subj"),
+        pred.alias("pred"),
+        F.coalesce("node_canonical", "value").alias("obj"),
+        "doc_id",
+        "repo",
+        "repo_bucket",
+        "lang",
+        F.coalesce("score", F.lit(1.0)).alias("conf"),
+    ).distinct()
+    repo_triples = (
+        candidates.select("doc_id", "repo", "repo_bucket", "lang")
+        .distinct()
+        .select(
+            F.col("repo").alias("subj"),
+            F.lit("contains_file").alias("pred"),
+            F.col("doc_id").alias("obj"),
+            "doc_id",
+            "repo",
+            "repo_bucket",
+            "lang",
+            F.lit(1.0).alias("conf"),
+        )
+    )
+    return doc_triples.unionByName(repo_triples)

@@ -1,0 +1,140 @@
+"""Stage checkpointing, per-partition lineage, and resume
+(BASELINE.json:north_rule: "every stage checkpoints ... with
+per-partition lineage rows so a killed job resumes at stage
+granularity").
+
+Iceberg-style layout on plain parquet (the sandbox has no catalog):
+
+    <root>/<stage>/data/...            partitioned parquet
+    <root>/<stage>/_lineage/...        per-partition rows+sha-xor+timing
+    <root>/<stage>/_MANIFEST.json      written LAST -> commit marker
+
+A stage directory without _MANIFEST.json is an aborted write and is
+re-run; with it, the stage is skipped and its data re-read. The
+manifest carries total rows and the xor of per-row content_sha so
+resume can re-verify the per-row invariant cheaply.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _sha_xor_col():
+    """64-bit xor-fold of content_sha -- an order-independent digest that
+    distributes over unions/partitions, so per-partition values xor up
+    to the table value."""
+    return F.conv(F.substring("content_sha", 1, 16), 16, 10).cast("decimal(20,0)")
+
+
+def lineage_frame(df: DataFrame, stage: str, run_id: str) -> DataFrame:
+    """Per-partition lineage rows: (stage, partition_id, rows,
+    content_sha_xor, wall_ms, run_id). Uses spark_partition_id + one
+    aggregation -- no driver-side loop."""
+    has_sha = "content_sha" in df.columns
+    base = df.withColumn("partition_id", F.spark_partition_id())
+    agg = base.groupBy("partition_id").agg(
+        F.count(F.lit(1)).alias("rows"),
+        (
+            F.sum(_sha_xor_col()) if has_sha else F.lit(None).cast("decimal(20,0)")
+        ).alias("sha_sum"),
+    )
+    return agg.select(
+        F.lit(stage).alias("stage"),
+        F.col("partition_id").cast("int"),
+        F.col("rows").cast("long"),
+        F.col("sha_sum").cast("string").alias("content_sha_xor"),
+        F.lit(None).cast("long").alias("wall_ms"),
+        F.lit(run_id).alias("run_id"),
+    )
+
+
+class StageStore:
+    """Write-once stage checkpoints with manifest-gated resume."""
+
+    def __init__(self, root: str, run_id: str = "run0"):
+        self.root = root
+        self.run_id = run_id
+
+    def _dir(self, stage: str) -> str:
+        return os.path.join(self.root, stage)
+
+    def manifest_path(self, stage: str) -> str:
+        return os.path.join(self._dir(stage), "_MANIFEST.json")
+
+    def is_complete(self, stage: str) -> bool:
+        return os.path.exists(self.manifest_path(stage))
+
+    def read(self, spark: SparkSession, stage: str) -> DataFrame:
+        return spark.read.parquet(os.path.join(self._dir(stage), "data"))
+
+    def manifest(self, stage: str) -> dict:
+        with open(self.manifest_path(stage), encoding="utf-8") as fh:
+            return json.load(fh)
+
+    def write(
+        self,
+        df: DataFrame,
+        stage: str,
+        partition_by: list[str] | None = None,
+    ) -> DataFrame:
+        """Write stage data + lineage, then the manifest (commit point).
+        Returns the re-read DataFrame so downstream stages consume the
+        checkpoint, not the lineage-accumulating plan."""
+        spark = df.sparkSession
+        d = self._dir(stage)
+        if os.path.exists(d) and not self.is_complete(stage):
+            shutil.rmtree(d)  # aborted previous attempt
+        t0 = time.time()
+        data_path = os.path.join(d, "data")
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(data_path)
+
+        persisted = spark.read.parquet(data_path)
+        wall_ms = int((time.time() - t0) * 1000)
+        lin = lineage_frame(persisted, stage, self.run_id).withColumn(
+            "wall_ms", F.lit(wall_ms)
+        )
+        lin.write.mode("overwrite").parquet(os.path.join(d, "_lineage"))
+
+        totals = lin.agg(
+            F.sum("rows").alias("rows"),
+            F.count(F.lit(1)).alias("partitions"),
+        ).collect()[0]
+        manifest = {
+            "stage": stage,
+            "run_id": self.run_id,
+            "rows": totals["rows"],
+            "partitions": totals["partitions"],
+            "partition_by": partition_by or [],
+            "wall_ms": wall_ms,
+            "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }
+        tmp = self.manifest_path(stage) + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(manifest, fh, indent=1)
+        os.replace(tmp, self.manifest_path(stage))  # atomic commit
+        return persisted
+
+    def run_stage(
+        self,
+        spark: SparkSession,
+        stage: str,
+        build,
+        partition_by: list[str] | None = None,
+    ) -> DataFrame:
+        """Resume-aware: skip + re-read if committed, else build + write."""
+        if self.is_complete(stage):
+            return self.read(spark, stage)
+        return self.write(build(), stage, partition_by)
+
+    def lineage(self, spark: SparkSession, stage: str) -> DataFrame:
+        return spark.read.parquet(os.path.join(self._dir(stage), "_lineage"))

@@ -488,6 +488,170 @@ def valor(texto: str):
     return precios[0], boleano
 
 
+# ----------------------------------------------- KG-stage feature kernels
+#
+# The distributed pipeline (SURVEY.md §3 "new-engine lifecycle") splits
+# extraction into per-doc FEATURES (computed here, inside one Arrow
+# batch pass) and LINKING (broadcast dim joins + vote windows, done in
+# DataFrame ops). These kernels emit exactly the features the link
+# stage needs, preserving reference semantics bit-for-bit.
+
+
+def estado_features(texto: str) -> tuple[int, str]:
+    """(max matching keyword rank | -1, first 2-digit code | '') over the
+    joined 'ENTIDAD FED' windows -- the loop-overwrite in
+    extractorAvaluos.py:273-276 means the LAST keyword in list order
+    that matches anywhere wins, i.e. the max rank."""
+    if texto is None:
+        return -1, ""
+    parrafo = norm_ws(texto).upper()
+    ctxs = [
+        parrafo[m.end() : min(len(parrafo), m.end() + 100)]
+        for m in re.finditer("ENTIDAD FED", parrafo)
+    ]
+    ent = " ".join(ctxs)
+    max_rank = -1
+    for rank, kw in enumerate(geo_dims()["estado_keywords"]):
+        if re.search(kw, ent):
+            max_rank = rank
+    digit = ""
+    for num in re.findall(r"\d+", ent):
+        if len(num) == 2:
+            digit = num
+            break
+    return max_rank, digit
+
+
+def muni_windows_text(texto: str) -> str:
+    """The normalized municipality-anchor window string fed to the vote
+    (extractorAvaluos.py:548-563 + :318)."""
+    if texto is None:
+        return ""
+    parrafo = norm_ws(texto)
+    wins = _windows(
+        parrafo, len(texto), MUNICIPIO_ANCHORS, 0, 35, ignorecase=False, from_start=True
+    )
+    joined = " ".join(w for _, _, w in wins)
+    return re.sub(r"[\r\n]+", " ", norm_ws(joined)).strip().upper()
+
+
+def muni_vote_counts(texto: str) -> list[tuple[int, int, int]]:
+    """Exact ciudades_regex vote counts per (branch_id, alias_rank):
+    ±10-char context windows around every alias hit in a branch are
+    concatenated and each alias re-counted over the concatenation
+    (extractorAvaluos.py:287-300). Only nonzero counts are emitted --
+    the argmax/tiebreak happens DataFrame-side (L3/A2)."""
+    p = muni_windows_text(texto)
+    if not p:
+        return []
+    out = []
+    for bid, (_test, clave, _patrones) in enumerate(_compiled_branches()):
+        sel = []
+        hit = False
+        for _pat, rx in clave:
+            for m in rx.finditer(p):
+                hit = True
+                lo = max(0, m.start() - 10)
+                hi = min(len(p), m.end() + 10)
+                sel.append(p[lo:hi])
+        if not hit:
+            continue
+        joined = "\n\n".join(sel)
+        for rank, (_pat, rx) in enumerate(clave):
+            cnt = len(rx.findall(joined))
+            if cnt:
+                out.append((bid, rank, cnt))
+    return out
+
+
+def avaluo_windows(texto: str) -> list[tuple[str, int, int, str]]:
+    """(field, anchor_rank, span_start, window) mention rows for the
+    window-parsed fields (M5-M8) in reference iteration order."""
+    if texto is None:
+        return []
+    rows = []
+    p75 = norm_ws(texto[:7500])
+    for rank, start, w in _windows(
+        p75.replace("Asentamientos", ""), len(texto), COLONIA_ANCHORS, 0, 100,
+        ignorecase=False, from_start=False,
+    ):
+        rows.append(("colonia", rank, start, w))
+    for rank, start, w in _windows(
+        p75.replace(",", "."), len(texto), CALLE_ANCHORS, 0, 150,
+        ignorecase=True, from_start=False,
+    ):
+        rows.append(("calle", rank, start, w))
+    pfull = norm_ws(texto)
+    for rank, start, w in _windows(
+        pfull.replace(",", "."), len(texto), FECHA_ANCHORS, 0, 75,
+        ignorecase=True, from_start=False,
+    ):
+        rows.append(("fecha", rank, start, w))
+    pv = pfull.replace("|", "").replace("!", "").replace("]", "")
+    for rank, start, w in _windows(
+        pv, len(texto), VALOR_ANCHORS, 0, 25, ignorecase=False, from_start=True
+    ):
+        rows.append(("valor", rank, start, w))
+    return rows
+
+
+def parse_window(field: str, window: str) -> str:
+    """Dispatch the per-field normalizer over a mention window (N1-N8)."""
+    if window is None:
+        return ""
+    if field == "colonia":
+        return pre_colonia(window)
+    if field == "calle":
+        return pre_calle(window)
+    if field == "fecha":
+        return pre_fecha(window)
+    if field == "valor":
+        return extract_characters(window)
+    return ""
+
+
+@lru_cache(maxsize=1)
+def estado_rank_dim() -> list[tuple[int, str]]:
+    """rank -> canonical state as pre_estado resolves each keyword
+    (the concatenated-literal quirk entry resolves to '')."""
+    return [(i, pre_estado(kw)) for i, kw in enumerate(geo_dims()["estado_keywords"])]
+
+
+@lru_cache(maxsize=1)
+def state_branch_dim() -> list[tuple[str, int]]:
+    """canonical-state string -> first gating branch_id (L4 branch order
+    is load-bearing). Domain: every string `estado` can emit."""
+    states = set()
+    for v in geo_dims()["state_prefix_map"].values():
+        states.add(fold_tildes(v))
+    states.update(geo_dims()["state_code_map"].values())
+    out = []
+    for st in sorted(states):
+        for bid, (test, _c, _p) in enumerate(_compiled_branches()):
+            if test(st):
+                out.append((st, bid))
+                break
+    return out
+
+
+@lru_cache(maxsize=1)
+def muni_alias_dim() -> list[tuple[int, int, str]]:
+    """(branch_id, alias_rank, canonical_folded) -- the winner->canonical
+    resolution of ciudades_regex:305-310 precomputed per alias."""
+    out = []
+    for bid, br in enumerate(geo_dims()["municipio_branches"]):
+        patrones = br["patrones_ciudades"]
+        for rank, alias in enumerate(br["ciudades_clave"]):
+            stripped = alias.replace("[", "").replace("]", "")
+            canonical = ""
+            for patron, ciudad in patrones.items():
+                if re.fullmatch(patron, stripped, re.IGNORECASE):
+                    canonical = fold_tildes(ciudad)
+                    break
+            out.append((bid, rank, canonical))
+    return out
+
+
 # -------------------------------------------------------- record (T1)
 
 RECORD_FIELDS = [

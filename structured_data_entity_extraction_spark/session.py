@@ -1,0 +1,49 @@
+"""SparkSession factory with the engine's scale-oriented defaults.
+
+Tuned for the target execution model (SURVEY.md §4): AQE on (runtime
+re-plan + skew-join splitting for mega-repos), Arrow on (every UDF in
+this engine is a vectorized pandas UDF), explicit shuffle-partition
+sizing. On a real cluster the same confs ship via spark-submit --conf;
+`local[N]` here is the sandbox stand-in for N executors.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CONF = {
+    # AQE: runtime coalescing + skew-join handling (north_rule)
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow transfer for pandas UDFs; bounded batches so huge `content`
+    # blobs can't blow executor memory (100 TB corpora have fat rows)
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "2048",
+    # broadcast threshold comfortably above our dim tables (~2.5k rows)
+    "spark.sql.autoBroadcastJoinThreshold": str(32 * 1024 * 1024),
+    # parquet scans: vectorized reader on by default; keep splits sane
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    "spark.sql.session.timeZone": "UTC",
+    "spark.ui.enabled": "false",
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+}
+
+
+def get_spark(
+    app_name: str = "structured-data-entity-extraction-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = dict(DEFAULT_CONF)
+    conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions or cpus)
+    conf.update(extra_conf or {})
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
