@@ -1,38 +1,517 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` -- flagship: the full avaluo extraction pipeline
+(extract -> link -> assemble -> triple pivot) over the sf0.001
+``documents`` table. ``queries()`` -- one entry per implemented
+operator family (SURVEY.md §2 + training-data ops); each oracle in
+``oracle_sql()`` is the ANSI-SQL twin DuckDB runs on the same parquet.
+Column names/aliases match exactly between both sides.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from structured_data_entity_extraction_spark.ops import dedup, multimodal, similarity, textstats  # noqa: E402
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# --------------------------------------------------------------- entry
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: avaluo KG pipeline over sf0.001 documents -> triples."""
+    from structured_data_entity_extraction_spark.link import avaluo_records
+    from structured_data_entity_extraction_spark.triples import records_to_triples
+
+    docs = _docs(spark, "/root/testdata/sf0.001").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text"
+    )
+    return records_to_triples(avaluo_records(docs))
+
+
+# -------------------------------------------------------------- queries
+
+
+def q_tpch_q1(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_region_rollup(spark, sf_dir):
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    reg = spark.read.parquet(f"{sf_dir}/region.parquet")
+    return (
+        cust.join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy(F.col("r_name").alias("region_name"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+        .orderBy("region_name")
+    )
+
+
+_MARKERS = ["spark", "merge", "join", "filter"]
+
+
+def q_vote_top1(spark, sf_dir):
+    """L3/A2 analogue: per-doc marker frequency vote, argmax with
+    first-listed tiebreak, docs with no hits dropped."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    cnts = [
+        F.size(
+            F.regexp_extract_all(F.lower("text"), F.lit(rf"\b{m}\b"), F.lit(0))
+        ).alias(f"c_{m}")
+        for m in _MARKERS
+    ]
+    scored = docs.select("doc_id", *cnts)
+    stacked = scored.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.array(*[F.lit(i) for i in range(len(_MARKERS))]).alias("rank"),
+                F.array(*[F.lit(m) for m in _MARKERS]).alias("marker"),
+                F.array(*[F.col(f"c_{m}") for m in _MARKERS]).alias("cnt"),
+            )
+        ).alias("z"),
+    ).select("doc_id", "z.rank", "z.marker", "z.cnt")
+    w = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), F.asc("rank"))
+    return (
+        stacked.filter(F.col("cnt") > 0)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("marker").alias("winner"), F.col("cnt").alias("votes"))
+        .orderBy("doc_id")
+    )
+
+
+def q_presence_flags(spark, sf_dir):
+    """M1/M2 analogue: presence tests as whole-stage-codegen exprs."""
+    docs = _docs(spark, sf_dir)
+    norm = F.regexp_replace(F.col("text"), r"\s+", " ")
+    return docs.select(
+        "doc_id",
+        F.when(norm.rlike(r"(?i)\b(spark|vector)\b"), F.lit("SI"))
+        .otherwise(F.lit("NO"))
+        .alias("has_spark"),
+        F.when(norm.rlike(r"(?i)\bstream\b"), F.lit("ELECTRONICA"))
+        .otherwise(F.lit("FISICA"))
+        .alias("firma_mode"),
+    ).orderBy("doc_id")
+
+
+def q_string_scalars(spark, sf_dir):
+    """P1-P3/P7 scalar pipeline: ws-collapse, upper, accent fold, truncate."""
+    docs = _docs(spark, sf_dir)
+    norm = F.regexp_replace(F.col("text"), r"\s+", " ")
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("raw_len"),
+        F.substring(F.translate(F.upper(norm), "ÁÉÍÓÚ", "AEIOU"), 1, 80).alias(
+            "norm_prefix"
+        ),
+    ).orderBy("doc_id")
+
+
+def q_unpivot_orders(spark, sf_dir):
+    """T2 melt: order row -> (subj, pred, obj) triples."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderkey") < 1000
+    )
+    return orders.select(
+        F.col("o_orderkey").cast("string").alias("subj"),
+        F.explode(
+            F.map_from_arrays(
+                F.array(F.lit("status"), F.lit("priority"), F.lit("clerk")),
+                F.array(
+                    F.col("o_orderstatus"),
+                    F.col("o_orderpriority"),
+                    F.col("o_clerk"),
+                ),
+            )
+        ).alias("pred", "obj"),
+    ).orderBy("subj", "pred")
+
+
+def q_exact_dup_groups(spark, sf_dir):
+    return dedup.exact_dup_groups(_docs(spark, sf_dir)).orderBy("text_sha")
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
+    return dedup.ngram_jaccard_pairs(docs, threshold=0.5).orderBy("id_a", "id_b")
+
+
+def q_cosine_pairs(spark, sf_dir):
+    emb = _emb(spark, sf_dir).filter(F.col("vec_id") < 400)
+    return (
+        dedup.embedding_cosine_pairs(emb, threshold=0.2, exact=True)
+        .select("id_a", "id_b", F.round("cos", 4).alias("cos_r"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+def q_ann_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 3)
+    out = similarity.brute_force_topk(emb, queries, k=10)
+    return out.select(
+        "query_id", "rank", "vec_id", F.round("cos", 4).alias("cos_r")
+    ).orderBy("query_id", "rank")
+
+
+def q_lang_id(spark, sf_dir):
+    return (
+        textstats.lang_id(_docs(spark, sf_dir))
+        .groupBy("lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang_pred")
+    )
+
+
+def q_token_stats(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        textstats.token_count_col(F.col("text")).alias("n_tokens"),
+        textstats.bpe_ish_token_count_col(F.col("text")).alias("n_subwords"),
+    ).orderBy("doc_id")
+
+
+def q_fingerprint(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id", textstats.fingerprint_col(F.col("text")).alias("fingerprint")
+    ).orderBy("doc_id")
+
+
+def q_quality(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id", textstats.quality_score_col(F.col("text")).alias("quality")
+    ).orderBy("doc_id")
+
+
+def q_events_hourly(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", "ts").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+# ------------------------------------------------ rows-only (non-SQL ops)
+
+
+def q_minhash_pairs(spark, sf_dir):
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
+    return dedup.minhash_lsh_pairs(docs, threshold=0.6).orderBy("id_a", "id_b")
+
+
+def q_simhash_pairs(spark, sf_dir):
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 400)
+    return dedup.simhash_pairs(docs, max_hamming=3).orderBy("id_a", "id_b")
+
+
+def q_lsh_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    return (
+        similarity.lsh_topk(emb, emb.filter(F.col("vec_id") < 3), k=10)
+        .select("query_id", "rank", "vec_id", F.round("cos", 4).alias("cos_r"))
+        .orderBy("query_id", "rank")
+    )
+
+
+def q_avaluo_triples(spark, sf_dir):
+    """Reference-fidelity pipeline on the seeded avaluo corpus."""
+    from structured_data_entity_extraction_spark.fixtures import avaluo_docs
+    from structured_data_entity_extraction_spark.link import avaluo_records
+    from structured_data_entity_extraction_spark.schemas import AVALUO_DOCS
+    from structured_data_entity_extraction_spark.triples import records_to_triples
+
+    corpus = avaluo_docs(200, seed=42)
+    docs = spark.createDataFrame([(r["doc_id"], r["text"]) for r in corpus], AVALUO_DOCS)
+    return records_to_triples(avaluo_records(docs)).orderBy("subj", "pred")
+
+
+def q_codekg_triples(spark, sf_dir):
+    """North-rule code-KG pipeline on the seeded repos_src corpus."""
+    from structured_data_entity_extraction_spark import codekg
+    from structured_data_entity_extraction_spark.fixtures import repos_src_rows
+    from structured_data_entity_extraction_spark.schemas import REPOS_SRC
+
+    rows = repos_src_rows(400, seed=42)
+    df = spark.createDataFrame(
+        [(r["repo"], r["path"], r["commit"], r["lang"], r["content"]) for r in rows],
+        REPOS_SRC,
+    )
+    mentions = codekg.extract_code_mentions(df)
+    cands = codekg.link_mentions(mentions, codekg.code_alias_dim(spark), use_lsh=False)
+    nodes = codekg.canonicalize(cands, codekg.code_alias_dim(spark))
+    return codekg.build_triples(cands, nodes).orderBy("subj", "pred", "obj")
+
+
+def q_multimodal_features(spark, sf_dir):
+    assets = multimodal.synthetic_assets(spark, 30)
+    return multimodal.extract_features(assets).drop("feature").orderBy("asset_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "tpch_q1_pricing_summary": q_tpch_q1,
+        "region_rollup_broadcast_join": q_region_rollup,
+        "vote_top1_marker": q_vote_top1,
+        "presence_flags": q_presence_flags,
+        "string_scalars": q_string_scalars,
+        "unpivot_orders_triples": q_unpivot_orders,
+        "exact_dup_groups": q_exact_dup_groups,
+        "ngram_jaccard_pairs": q_ngram_jaccard,
+        "embedding_cosine_pairs": q_cosine_pairs,
+        "ann_brute_force_topk": q_ann_topk,
+        "lang_id_counts": q_lang_id,
+        "token_stats": q_token_stats,
+        "doc_fingerprint": q_fingerprint,
+        "quality_score": q_quality,
+        "events_hourly": q_events_hourly,
+        # rows-only (non-SQL-expressible: LSH banding / seeded-corpus KG)
+        "minhash_lsh_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "ann_lsh_topk": q_lsh_topk,
+        "avaluo_triples": q_avaluo_triples,
+        "codekg_triples": q_codekg_triples,
+        "multimodal_features": q_multimodal_features,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------- oracles
+
+_SHINGLES_CTE = """
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+  FROM documents {filt}
+), sh AS (
+  SELECT DISTINCT doc_id, shingle FROM (
+    SELECT doc_id,
+           CASE WHEN len(t) < 3 THEN array_to_string(t, ' ')
+                ELSE t[i] || ' ' || t[i+1] || ' ' || t[i+2] END AS shingle
+    FROM toks
+    LEFT JOIN LATERAL (
+      SELECT unnest(range(1, greatest(len(t) - 2, 1) + 1)) AS i
+    ) ON true
+  )
+)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    marker_votes = " UNION ALL ".join(
+        f"SELECT doc_id, {i} AS rank, '{m}' AS marker, "
+        f"len(regexp_extract_all(lower(text), '\\b{m}\\b')) AS cnt FROM documents"
+        for i, m in enumerate(_MARKERS)
+    )
+    lang_scores = ", ".join(
+        "("
+        + " + ".join(
+            f"len(regexp_extract_all(lower(text), '\\b{w}\\b'))" for w in ws
+        )
+        + f") AS score_{lang}"
+        for lang, ws in textstats.LANG_MARKERS.items()
+    )
+    langs = sorted(textstats.LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"score_{l}" for l in langs) + ")"
+    lang_case = (
+        "CASE WHEN " + best + " = 0 THEN 'und' "
+        + " ".join(f"WHEN score_{l} = {best} THEN '{l}'" for l in langs)
+        + " END"
+    )
+    stop_hits = " + ".join(
+        f"len(regexp_extract_all(lower(text), '\\b{w}\\b'))"
+        for w in sorted({w for ws in textstats.LANG_MARKERS.values() for w in ws})
+    )
+    return {
+        "tpch_q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "region_rollup_broadcast_join": """
+            SELECT r.r_name AS region_name,
+                   count(*) AS n_customers,
+                   round(sum(c.c_acctbal), 2) AS total_acctbal
+            FROM customer c
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name ORDER BY region_name
+        """,
+        "vote_top1_marker": f"""
+            WITH votes AS ({marker_votes}),
+            ranked AS (
+              SELECT doc_id, marker, cnt,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY cnt DESC, rank ASC) AS rn
+              FROM votes WHERE cnt > 0
+            )
+            SELECT doc_id, marker AS winner, cnt AS votes
+            FROM ranked WHERE rn = 1 ORDER BY doc_id
+        """,
+        "presence_flags": r"""
+            SELECT doc_id,
+                   CASE WHEN regexp_matches(regexp_replace(text, '\s+', ' ', 'g'),
+                        '(?i)\b(spark|vector)\b') THEN 'SI' ELSE 'NO' END AS has_spark,
+                   CASE WHEN regexp_matches(regexp_replace(text, '\s+', ' ', 'g'),
+                        '(?i)\bstream\b') THEN 'ELECTRONICA' ELSE 'FISICA' END AS firma_mode
+            FROM documents ORDER BY doc_id
+        """,
+        "string_scalars": r"""
+            SELECT doc_id,
+                   length(text) AS raw_len,
+                   substring(translate(upper(regexp_replace(text, '\s+', ' ', 'g')),
+                             'ÁÉÍÓÚ', 'AEIOU'), 1, 80) AS norm_prefix
+            FROM documents ORDER BY doc_id
+        """,
+        "unpivot_orders_triples": """
+            SELECT CAST(o_orderkey AS VARCHAR) AS subj, 'status' AS pred,
+                   o_orderstatus AS obj FROM orders WHERE o_orderkey < 1000
+            UNION ALL
+            SELECT CAST(o_orderkey AS VARCHAR), 'priority', o_orderpriority
+            FROM orders WHERE o_orderkey < 1000
+            UNION ALL
+            SELECT CAST(o_orderkey AS VARCHAR), 'clerk', o_clerk
+            FROM orders WHERE o_orderkey < 1000
+            ORDER BY subj, pred
+        """,
+        "exact_dup_groups": """
+            SELECT sha256(coalesce(text, '')) AS text_sha,
+                   count(*) AS n_docs, min(doc_id) AS keep_id
+            FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY text_sha
+        """,
+        "ngram_jaccard_pairs": _SHINGLES_CTE.format(filt="WHERE doc_id < 300")
+        + """
+            , sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+            common AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+            FROM common
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+            ORDER BY id_a, id_b
+        """,
+        "embedding_cosine_pairs": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(round(list_cosine_similarity(a.embedding::DOUBLE[],
+                         b.embedding::DOUBLE[]), 6), 4) AS cos_r
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE a.vec_id < 400 AND b.vec_id < 400
+              AND round(list_cosine_similarity(a.embedding::DOUBLE[],
+                        b.embedding::DOUBLE[]), 6) >= 0.2
+            ORDER BY id_a, id_b
+        """,
+        "ann_brute_force_topk": """
+            WITH scored AS (
+              SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+                     round(list_cosine_similarity(q.embedding::DOUBLE[],
+                           c.embedding::DOUBLE[]), 6) AS cos
+              FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
+              WHERE q.vec_id < 3
+            ), ranked AS (
+              SELECT query_id, vec_id, cos,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cos DESC, vec_id ASC) AS rank
+              FROM scored
+            )
+            SELECT query_id, rank, vec_id, round(cos, 4) AS cos_r
+            FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+        """,
+        "lang_id_counts": f"""
+            WITH scored AS (SELECT doc_id, {lang_scores} FROM documents)
+            SELECT {lang_case} AS lang_pred, count(*) AS n_docs
+            FROM scored GROUP BY 1 ORDER BY lang_pred
+        """,
+        "token_stats": r"""
+            SELECT doc_id,
+                   CASE WHEN trim(text) = '' THEN 0
+                        ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+                   len(regexp_extract_all(coalesce(text, ''),
+                       '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_subwords
+            FROM documents ORDER BY doc_id
+        """,
+        "doc_fingerprint": _SHINGLES_CTE.format(filt="")
+        + """
+            SELECT doc_id, min(md5(shingle)) AS fingerprint
+            FROM sh GROUP BY doc_id ORDER BY doc_id
+        """,
+        "quality_score": f"""
+            WITH m AS (
+              SELECT doc_id,
+                     coalesce(text, '') AS t,
+                     length(coalesce(text, '')) AS n,
+                     length(regexp_replace(coalesce(text, ''), '[^A-Za-z]', '', 'g')) AS n_alpha,
+                     length(regexp_replace(coalesce(text, ''), '[A-Za-z0-9\\s]', '', 'g')) AS n_punct,
+                     ({stop_hits}) AS n_stop,
+                     CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                          ELSE len(string_split_regex(trim(coalesce(text, '')), '\\s+')) END AS n_tok
+              FROM documents
+            )
+            SELECT doc_id,
+                   round(0.25 * (CASE WHEN n >= 50 AND n <= 100000 THEN 1.0 ELSE 0.0 END)
+                       + 0.35 * least((CASE WHEN n > 0 THEN n_alpha / CAST(n AS DOUBLE) ELSE 0.0 END) * 1.25, 1.0)
+                       + 0.25 * least((CASE WHEN n_tok > 0 THEN n_stop / CAST(n_tok AS DOUBLE) ELSE 0.0 END) * 5.0, 1.0)
+                       + 0.15 * (1.0 - least((CASE WHEN n > 0 THEN n_punct / CAST(n AS DOUBLE) ELSE 0.0 END) * 4.0, 1.0)),
+                   4) AS quality
+            FROM m ORDER BY doc_id
+        """,
+        "events_hourly": """
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   count(*) AS n_events, round(sum(value), 2) AS total_value
+            FROM events GROUP BY 1, 2 ORDER BY hour, event_type
+        """,
+    }

@@ -207,7 +207,7 @@ def link_mentions(
     expensive approx join runs on |distinct misses| not |mentions|.
     """
     dict_hits = mentions.join(
-        F.broadcast(alias_dim), mentions.value == alias_dim.alias, "left"
+        F.broadcast(alias_dim), mentions.value == alias_dim["alias"], "left"
     ).select(
         mentions["*"],
         F.col("canonical"),

@@ -1,0 +1,228 @@
+"""Deduplication family for training-data pipelines (exact, MinHash-LSH,
+SimHash, n-gram Jaccard, embedding-cosine). Designed scale-first:
+
+- exact dedup is a single hash aggregation (map-side partial);
+- n-gram Jaccard prunes via a shingle inverted index (explode + self
+  join on shingle, then pair aggregation) -- never an O(n^2) cross join;
+- MinHash-LSH uses pyspark.ml (band/bucket approx join);
+- SimHash pairs compare only within 16-bit band buckets;
+- embedding near-dup blocks via sign-LSH buckets, brute-force rerank
+  inside buckets.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from .textstats import shingles_col
+
+# ------------------------------------------------------------- exact
+
+
+def exact_dup_groups(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(text_sha, n_docs, keep_id) for every duplicated text. One
+    groupBy -- partial aggregation kicks in map-side."""
+    return (
+        df.select(
+            F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256).alias("text_sha"),
+            F.col(id_col).alias("doc_id"),
+        )
+        .groupBy("text_sha")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id representative per distinct text."""
+    w = Window.partitionBy(F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256)).orderBy(
+        F.col(id_col)
+    )
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+# ------------------------------------------------- n-gram Jaccard pairs
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id_a, id_b, jaccard) for pairs with word-k-gram Jaccard >=
+    threshold. Inverted-index join: explode distinct shingles, self-join
+    on shingle, count common, derive |A∪B| from per-doc sizes. Shuffle
+    keys are shingles -- hot shingles are bounded because shingle sets
+    are distinct per doc; AQE splits residual skew."""
+    sh = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles_col(F.col(text_col), k)).alias("shingle"),
+    ).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+# --------------------------------------------------------- MinHash-LSH
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    k: int = 3,
+    num_hashes: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Approximate Jaccard near-dup pairs via pyspark.ml MinHashLSH
+    (shingle -> hashingTF -> minhash band/bucket join). Returns
+    (id_a, id_b, approx_jaccard)."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    sh = df.select(
+        F.col(id_col).alias("doc_id"), shingles_col(F.col(text_col), k).alias("grams")
+    ).filter(F.size("grams") > 0)
+    tf = HashingTF(inputCol="grams", outputCol="features", numFeatures=1 << 18)
+    feat = tf.transform(sh)
+    lsh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=num_hashes, seed=42
+    )
+    model = lsh.fit(feat)
+    pairs = model.approxSimilarityJoin(feat, feat, 1.0 - threshold, distCol="dist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("id_a"),
+            F.col("datasetB.doc_id").alias("id_b"),
+            F.round(1.0 - F.col("dist"), 6).alias("approx_jaccard"),
+        )
+    )
+
+
+# ------------------------------------------------------------- SimHash
+
+_SIMHASH_BITS = 64
+
+
+def _simhash_one(tokens: list[str]) -> int:
+    import hashlib as _h
+
+    acc = [0] * _SIMHASH_BITS
+    for t in tokens:
+        hv = int.from_bytes(_h.md5(t.encode()).digest()[:8], "big")
+        for i in range(_SIMHASH_BITS):
+            acc[i] += 1 if (hv >> i) & 1 else -1
+    out = 0
+    for i in range(_SIMHASH_BITS):
+        if acc[i] > 0:
+            out |= 1 << i
+    return out - (1 << 63)  # to signed long
+
+
+@pandas_udf(T.LongType())
+def simhash_udf(texts: pd.Series) -> pd.Series:
+    return texts.map(lambda t: _simhash_one((t or "").lower().split()))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id_a, id_b, hamming) for pairs within max_hamming bits. Banding:
+    a pair within 3 bits of a 64-bit hash agrees exactly on at least one
+    of 4 16-bit bands -> join per band, distinct, exact popcount filter.
+    """
+    h = df.select(F.col(id_col).alias("doc_id"), simhash_udf(F.col(text_col)).alias("sim"))
+    bands = h.select(
+        "doc_id",
+        "sim",
+        *[
+            (F.shiftrightunsigned("sim", 16 * i).bitwiseAND(F.lit(0xFFFF))).alias(f"b{i}")
+            for i in range(4)
+        ],
+    )
+    pair_frames = []
+    for i in range(4):
+        a = bands.alias("a")
+        b = bands.alias("b")
+        pair_frames.append(
+            a.join(
+                b,
+                (F.col(f"a.b{i}") == F.col(f"b.b{i}"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            ).select(
+                F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"),
+                F.col("a.sim").alias("sim_a"),
+                F.col("b.sim").alias("sim_b"),
+            )
+        )
+    allpairs = pair_frames[0]
+    for f in pair_frames[1:]:
+        allpairs = allpairs.unionByName(f)
+    return (
+        allpairs.distinct()
+        .withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ------------------------------------------------- embedding near-dup
+
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int = 8,
+    exact: bool = False,
+) -> DataFrame:
+    """(id_a, id_b, cos) pairs with cosine >= threshold. exact=True does
+    the O(n^2) self-join (small-n oracle); default blocks by sign-LSH
+    bucket (all n_planes sign bits equal) then reranks exactly."""
+    from .similarity import cosine_expr, signature_col
+
+    v = df.select(F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("vec"))
+    if exact:
+        a, b = v.alias("a"), v.alias("b")
+        joined = a.join(b, F.col("a.vid") < F.col("b.vid"))
+    else:
+        sig = v.withColumn("bucket", signature_col(F.col("vec"), n_planes, seed=42))
+        a, b = sig.alias("a"), sig.alias("b")
+        joined = a.join(
+            b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vid") < F.col("b.vid"))
+        )
+    return joined.select(
+        F.col("a.vid").alias("id_a"),
+        F.col("b.vid").alias("id_b"),
+        F.round(cosine_expr(F.col("a.vec"), F.col("b.vec")), 6).alias("cos"),
+    ).filter(F.col("cos") >= threshold)

@@ -1,0 +1,118 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_expr``: pure built-in (zip_with + aggregate) cosine -- stays
+  in whole-stage codegen, no Python;
+- ``brute_force_topk``: exact top-k per query via broadcast query set +
+  window row_number (the correctness baseline);
+- ``lsh_topk``: the scale path -- random-hyperplane sign buckets
+  (seeded, deterministic) shrink the candidate set before exact rerank.
+  At 100 TB the bucket join replaces the full cross product; multiprobe
+  (hamming-1 neighbor buckets) keeps recall high.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<double> columns, JVM-side."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
+    return F.when((na > 0) & (nb > 0), dot / (na * nb)).otherwise(F.lit(0.0))
+
+
+def _planes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_planes, dim).tolist()
+
+
+def signature_col(vec: Column, n_planes: int, seed: int = 42, dim: int = 64) -> Column:
+    """Sign-LSH bucket id: bit i = sign(vec . plane_i). Hyperplanes are
+    literal arrays (seeded) -> constant-folded by Catalyst."""
+    planes = _planes(dim, n_planes, seed)
+    sig = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        dot = F.aggregate(
+            F.zip_with(vec, plane, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+        sig = sig + F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return sig
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """(query_id, vec_id, cos, rank) exact top-k neighbors per query.
+    Query set is broadcast (small); corpus never shuffles until the
+    per-query window."""
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("cvec")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qvec")
+    )
+    scored = c.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        "vec_id",
+        F.round(cosine_expr(F.col("qvec"), F.col("cvec")), 6).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos", "rank")
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_planes: int = 6,
+    multiprobe: bool = True,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's sign bucket (or a
+    hamming-1 neighbor bucket when multiprobe), exact cosine rerank."""
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("cvec"),
+    ).withColumn("cbucket", signature_col(F.col("cvec"), n_planes))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qvec"),
+    ).withColumn("qbucket", signature_col(F.col("qvec"), n_planes))
+    if multiprobe:
+        probes = F.array(
+            F.col("qbucket"),
+            *[F.col("qbucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
+        )
+        q = q.withColumn("probe", F.explode(probes))
+    else:
+        q = q.withColumn("probe", F.col("qbucket"))
+    cand = c.join(
+        F.broadcast(q),
+        (F.col("cbucket") == F.col("probe")) & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        "vec_id",
+        F.round(cosine_expr(F.col("qvec"), F.col("cvec")), 6).alias("cos"),
+    ).distinct()
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos", "rank")
+    )

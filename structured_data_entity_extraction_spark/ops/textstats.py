@@ -1,0 +1,131 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+language-ID, quality scoring, token counting, document fingerprinting.
+All JVM-side built-ins (whole-stage codegen) -- no Python in the hot
+path. Each has an ANSI-SQL oracle twin in __spark_entry__.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# marker stopwords per language for the n-gram/stopword heuristic.
+# Deliberately tiny + portable so the DuckDB oracle can replicate the
+# exact formula.
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "is", "to"],
+    "es": ["el", "la", "de", "que", "y"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "les", "et", "est"],
+}
+_STOPWORDS = sorted({w for ws in LANG_MARKERS.values() for w in ws})
+
+
+def token_count_col(text: Column) -> Column:
+    """Whitespace token count (empty/blank text -> 0)."""
+    t = F.trim(text)
+    return F.when(t == "", F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def bpe_ish_token_count_col(text: Column) -> Column:
+    """BPE-ish subword proxy: count of word-piece matches
+    (letters runs, digit runs, single punctuation)."""
+    return F.size(
+        F.regexp_extract_all(F.coalesce(text, F.lit("")), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), F.lit(0))
+    )
+
+
+def _marker_hits(text: Column, words: list[str]) -> Column:
+    """Count of marker-word occurrences, word-bounded, case-insensitive."""
+    padded = F.lower(text)
+    total = F.lit(0)
+    for w in words:
+        total = total + F.size(
+            F.regexp_extract_all(padded, F.lit(rf"\b{w}\b"), F.lit(0))
+        )
+    return total
+
+
+def lang_id_cols(text: Column) -> list[Column]:
+    """Per-language marker-hit scores."""
+    return [
+        _marker_hits(text, ws).alias(f"score_{lang}") for lang, ws in LANG_MARKERS.items()
+    ]
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """argmax language with deterministic tiebreak (lang name asc);
+    no hits -> 'und'."""
+    scored = df.select("*", *lang_id_cols(F.col(text_col)))
+    langs = sorted(LANG_MARKERS)
+    pairs = F.array(
+        *[F.struct(F.col(f"score_{l}").alias("s"), F.lit(l).alias("l")) for l in langs]
+    )
+    best = F.array_max(pairs)
+    return scored.withColumn(
+        "lang_pred", F.when(best["s"] > 0, best["l"]).otherwise(F.lit("und"))
+    )
+
+
+def quality_score_col(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: length band + alpha ratio +
+    stopword presence + punctuation sanity. Pure built-ins."""
+    t = F.coalesce(text, F.lit(""))
+    n = F.length(t)
+    n_alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", ""))
+    n_punct = F.length(F.regexp_replace(t, r"[A-Za-z0-9\s]", ""))
+    n_stop = _marker_hits(t, _STOPWORDS)
+    n_tok = token_count_col(t)
+    len_ok = F.when((n >= 50) & (n <= 100000), F.lit(1.0)).otherwise(F.lit(0.0))
+    alpha_ratio = F.when(n > 0, n_alpha / n).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n > 0, n_punct / n).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tok > 0, n_stop / n_tok).otherwise(F.lit(0.0))
+    return F.round(
+        0.25 * len_ok
+        + 0.35 * F.least(alpha_ratio * 1.25, F.lit(1.0))
+        + 0.25 * F.least(stop_ratio * 5.0, F.lit(1.0))
+        + 0.15 * (1.0 - F.least(punct_ratio * 4.0, F.lit(1.0))),
+        4,
+    )
+
+
+def shingles_col(text: Column, k: int = 3) -> Column:
+    """Word k-gram shingle array (distinct), built-ins only:
+    split -> sliding windows via transform over index sequence."""
+    toks = F.split(F.trim(F.lower(text)), r"\s+")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)) - F.when(n < k, 0).otherwise(0))
+    # guard: fewer than k tokens -> single shingle of the whole text
+    return F.when(
+        n < k, F.array(F.concat_ws(" ", toks))
+    ).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), n - k),
+                lambda i: F.concat_ws(
+                    " ", F.slice(toks, i + 1, k)
+                ),
+            )
+        )
+    )
+
+
+def fingerprint_col(text: Column, k: int = 3) -> Column:
+    """Deterministic portable document fingerprint: min MD5 over word
+    k-gram shingles (a 1-perm MinHash). Identical formula is expressible
+    in DuckDB (min(md5(shingle))), so it's oracle-checkable."""
+    return F.array_min(F.transform(shingles_col(text, k), F.md5))
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    t = F.col(text_col)
+    return lang_id(
+        df.select(
+            "*",
+            token_count_col(t).alias("n_tokens"),
+            bpe_ish_token_count_col(t).alias("n_subwords"),
+            quality_score_col(t).alias("quality"),
+            fingerprint_col(t).alias("fingerprint"),
+        ),
+        text_col,
+    )

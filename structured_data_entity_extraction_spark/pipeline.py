@@ -1,0 +1,126 @@
+"""End-to-end orchestration: the resumable, checkpointed KG pipeline
+(north_rule) plus a spark-submit entry point.
+
+    spark-submit --py-files structured_data_entity_extraction_spark.zip \\
+        -m structured_data_entity_extraction_spark.pipeline \\
+        --input <repos_src parquet> --output <warehouse root>
+
+Stages commit in order (extract -> link -> canonize -> triples); a
+killed run re-invoked with the same --output resumes after the last
+committed stage (StageStore manifest gate). Skew from mega-repos is
+handled by AQE skew-join splitting (session.py) plus the repo_bucket
+partitioning of every materialized table.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import codekg
+from .link import avaluo_records, dim_frames
+from .materialize import StageStore
+from .triples import records_to_triples
+
+
+def run_codekg_pipeline(
+    spark: SparkSession,
+    repos_src: DataFrame,
+    out_root: str,
+    run_id: str = "run0",
+    bucket_count: int = 64,
+    use_lsh: bool = True,
+    alias_rows=None,
+) -> dict:
+    """repos_src -> {mentions, candidates, nodes, triples} checkpointed
+    under out_root; returns stage row counts + timings."""
+    store = StageStore(out_root, run_id=run_id)
+    metrics: dict = {"run_id": run_id, "stages": {}}
+
+    def timed(stage, build, partition_by=None):
+        t0 = time.time()
+        df = store.run_stage(spark, stage, build, partition_by)
+        metrics["stages"][stage] = {
+            "rows": store.manifest(stage)["rows"],
+            "wall_s": round(time.time() - t0, 3),
+            "resumed": store.manifest(stage)["run_id"] != run_id,
+        }
+        return df
+
+    alias_dim = codekg.code_alias_dim(spark, alias_rows)
+
+    mentions = timed(
+        "mentions",
+        lambda: codekg.extract_code_mentions(repos_src, bucket_count),
+        partition_by=["repo_bucket", "lang"],
+    )
+    candidates = timed(
+        "candidates",
+        lambda: codekg.link_mentions(mentions, alias_dim, use_lsh=use_lsh),
+        partition_by=["repo_bucket", "lang"],
+    )
+    nodes = timed("nodes", lambda: codekg.canonicalize(candidates, alias_dim))
+    triples = timed(
+        "triples",
+        lambda: codekg.build_triples(candidates, nodes),
+        partition_by=["repo_bucket", "lang"],
+    )
+    metrics["triples"] = metrics["stages"]["triples"]["rows"]
+    return metrics
+
+
+def run_avaluo_pipeline(
+    spark: SparkSession, docs: DataFrame, out_root: str, run_id: str = "run0"
+) -> dict:
+    """docs(doc_id, text) -> 13-field records + triples, checkpointed."""
+    store = StageStore(out_root, run_id=run_id)
+    dims = dim_frames(spark)
+    records = store.run_stage(
+        spark, "records", lambda: avaluo_records(docs, dims)
+    )
+    triples = store.run_stage(
+        spark, "triples", lambda: records_to_triples(records)
+    )
+    return {
+        "records": store.manifest("records")["rows"],
+        "triples": store.manifest("triples")["rows"],
+    }
+
+
+def main(argv=None) -> None:
+    from .session import get_spark
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="repos_src parquet path")
+    ap.add_argument("--output", required=True, help="warehouse root")
+    ap.add_argument("--run-id", default="run0")
+    ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument("--no-lsh", action="store_true")
+    args = ap.parse_args(argv)
+
+    spark = get_spark("structured-data-entity-extraction-kg")
+    repos_src = spark.read.parquet(args.input)
+    t0 = time.time()
+    metrics = run_codekg_pipeline(
+        spark,
+        repos_src,
+        args.output,
+        run_id=args.run_id,
+        bucket_count=args.buckets,
+        use_lsh=not args.no_lsh,
+    )
+    metrics["total_wall_s"] = round(time.time() - t0, 3)
+    metrics["triples_per_sec"] = (
+        round(metrics["triples"] / metrics["total_wall_s"], 1)
+        if metrics["total_wall_s"]
+        else None
+    )
+    print(json.dumps(metrics))
+
+
+if __name__ == "__main__":
+    main()

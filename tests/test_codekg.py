@@ -1,0 +1,158 @@
+"""North-rule pipeline tests: planted-mention recall, CC correctness vs
+union-find, stage resume, per-partition lineage reconciliation, sha256
+invariant (SURVEY.md §5 items 2/4/5)."""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from structured_data_entity_extraction_spark import codekg
+from structured_data_entity_extraction_spark.cc import connected_components
+from structured_data_entity_extraction_spark.fixtures import repos_src_rows
+from structured_data_entity_extraction_spark.materialize import StageStore
+from structured_data_entity_extraction_spark.pipeline import run_codekg_pipeline
+from structured_data_entity_extraction_spark.schemas import REPOS_SRC
+
+
+@pytest.fixture(scope="module")
+def rows():
+    return repos_src_rows(300, seed=11)
+
+
+@pytest.fixture(scope="module")
+def repos_df(spark, rows):
+    return spark.createDataFrame(
+        [(r["repo"], r["path"], r["commit"], r["lang"], r["content"]) for r in rows],
+        REPOS_SRC,
+    )
+
+
+def test_planted_mention_recall(spark, repos_df, rows):
+    """Every planted import/def/class/config value must be extracted
+    (recall=1.0 on the seeded corpus)."""
+    mentions = codekg.extract_code_mentions(repos_df)
+    got = {
+        (r["path"], r["field"], r["value"])
+        for r in mentions.select("path", "field", "value").collect()
+    }
+    missing = []
+    for row in rows:
+        for field, value in row["planted"]:
+            if (row["path"], field, value) not in got:
+                missing.append((row["path"], field, value))
+    assert not missing, f"{len(missing)} planted mentions missed: {missing[:5]}"
+
+
+def test_doc_id_and_sha_invariant(spark, repos_df, rows):
+    mentions = codekg.extract_code_mentions(repos_df)
+    got = {
+        r["path"]: (r["doc_id"], r["content_sha"])
+        for r in mentions.select("path", "doc_id", "content_sha").distinct().collect()
+    }
+    for row in rows[:50]:
+        want_doc = hashlib.sha256(
+            f"{row['repo']}\x00{row['path']}\x00{row['commit']}".encode()
+        ).hexdigest()
+        want_sha = hashlib.sha256(row["content"].encode()).hexdigest()
+        assert got[row["path"]] == (want_doc, want_sha)
+
+
+def _union_find(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_cc_matches_union_find(spark):
+    """Property check: CC labels equal a driver-side union-find on a
+    random-ish alias graph with chains, stars and singleton pairs."""
+    import random
+
+    rng = random.Random(3)
+    nodes = [f"n{i:03d}" for i in range(120)]
+    edges = []
+    for _ in range(150):
+        a, b = rng.sample(nodes, 2)
+        edges.append((a, b))
+    # a long chain to force >2 iterations
+    for i in range(20):
+        edges.append((f"c{i:02d}", f"c{i+1:02d}"))
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    want = _union_find(edges)
+    assert got == want
+
+
+def test_pipeline_resume_and_lineage(spark, repos_df, tmp_path):
+    out = str(tmp_path / "warehouse")
+    m1 = run_codekg_pipeline(spark, repos_df, out, run_id="r1", use_lsh=False)
+    assert m1["triples"] > 0
+    # lineage row counts reconcile with manifest totals per stage
+    store = StageStore(out, run_id="r1")
+    for stage in ("mentions", "candidates", "triples"):
+        lin = store.lineage(spark, stage)
+        total = lin.agg(F.sum("rows")).collect()[0][0]
+        assert total == store.manifest(stage)["rows"]
+
+    # kill-after-stage simulation: drop 'triples' commit, resume under a
+    # new run_id -> earlier stages are skipped (resumed), output identical
+    t1 = spark.read.parquet(os.path.join(out, "triples", "data"))
+    rows_before = sorted(
+        (r["subj"], r["pred"], r["obj"]) for r in t1.select("subj", "pred", "obj").collect()
+    )
+    os.remove(os.path.join(out, "triples", "_MANIFEST.json"))
+    m2 = run_codekg_pipeline(spark, repos_df, out, run_id="r2", use_lsh=False)
+    assert m2["stages"]["mentions"]["resumed"] is True
+    assert m2["stages"]["triples"]["resumed"] is False
+    t2 = spark.read.parquet(os.path.join(out, "triples", "data"))
+    rows_after = sorted(
+        (r["subj"], r["pred"], r["obj"]) for r in t2.select("subj", "pred", "obj").collect()
+    )
+    assert rows_before == rows_after
+
+
+def test_determinism(spark, repos_df, tmp_path):
+    """Same input twice -> identical triples (SURVEY.md §5 item 4)."""
+    a = run_codekg_pipeline(spark, repos_df, str(tmp_path / "w1"), use_lsh=False)
+    b = run_codekg_pipeline(spark, repos_df, str(tmp_path / "w2"), use_lsh=False)
+    ta = spark.read.parquet(str(tmp_path / "w1" / "triples" / "data"))
+    tb = spark.read.parquet(str(tmp_path / "w2" / "triples" / "data"))
+    sa = sorted(map(tuple, ta.select("subj", "pred", "obj").collect()))
+    sb = sorted(map(tuple, tb.select("subj", "pred", "obj").collect()))
+    assert sa == sb
+
+
+def test_lsh_links_near_aliases(spark):
+    """MinHash-LSH blocking links a near-miss surface form to its dim
+    canonical (L6)."""
+    rows = [
+        ("o/r", "a.py", "c" * 40, "python", "import numpyy\nimport totallyunknownmod"),
+    ]
+    df = spark.createDataFrame(rows, REPOS_SRC)
+    mentions = codekg.extract_code_mentions(df)
+    cands = codekg.link_mentions(
+        mentions, codekg.code_alias_dim(spark), lsh_threshold=0.4
+    )
+    got = {
+        r["value"]: (r["canonical"], r["method"])
+        for r in cands.filter(F.col("field") == "import").collect()
+    }
+    assert got["numpyy"][0] == "numpy"
+    assert got["numpyy"][1] == "lsh"
+    assert got["totallyunknownmod"][0] is None

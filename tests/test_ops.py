@@ -1,0 +1,192 @@
+"""Training-data operator tests vs independent Python/numpy oracles
+(dedup family, similarity search, text stats, multimodal plumbing)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from structured_data_entity_extraction_spark.ops import dedup, multimodal, similarity, textstats
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy cat"),
+    (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+    (3, "el perro corre por la calle y la plaza"),
+    (4, "der hund und die katze das ist gut"),
+    (5, "completely different words entirely unrelated tokens here"),
+    (6, ""),
+    (7, "tiny"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def _py_shingles(text, k=3):
+    toks = text.strip().lower().split()
+    if len(toks) < k:
+        return {" ".join(toks)}
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+def test_token_count_and_fingerprint(spark, docs_df):
+    out = {
+        r["doc_id"]: (r["n"], r["fp"])
+        for r in docs_df.select(
+            "doc_id",
+            textstats.token_count_col(F.col("text")).alias("n"),
+            textstats.fingerprint_col(F.col("text")).alias("fp"),
+        ).collect()
+    }
+    for did, text in DOCS:
+        want_n = len(text.split())
+        want_fp = min(
+            (hashlib.md5(s.encode()).hexdigest() for s in _py_shingles(text)),
+            default=None,
+        )
+        assert out[did][0] == want_n, (did, out[did][0], want_n)
+        assert out[did][1] == want_fp, (did, out[did][1], want_fp)
+
+
+def test_lang_id(spark, docs_df):
+    out = {r["doc_id"]: r["lang_pred"] for r in textstats.lang_id(docs_df).collect()}
+    assert out[0] == "en"
+    assert out[3] == "es"
+    assert out[4] == "de"
+    assert out[5] == "und"  # no markers
+    assert out[6] == "und"
+
+
+def test_exact_dedup(spark, docs_df):
+    groups = dedup.exact_dup_groups(docs_df).collect()
+    assert len(groups) == 1
+    assert groups[0]["n_docs"] == 2 and groups[0]["keep_id"] == 0
+    kept = sorted(r["doc_id"] for r in dedup.dedup_exact(docs_df).collect())
+    assert kept == [0, 1, 3, 4, 5, 6, 7]
+
+
+def _py_jaccard(a, b):
+    sa, sb = _py_shingles(a), _py_shingles(b)
+    return len(sa & sb) / len(sa | sb) if sa | sb else 0.0
+
+
+def test_ngram_jaccard_pairs(spark, docs_df):
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs_df, threshold=0.3).collect()
+    }
+    want = {}
+    for i, (ida, ta) in enumerate(DOCS):
+        for idb, tb in DOCS[i + 1 :]:
+            j = _py_jaccard(ta, tb)
+            if j >= 0.3:
+                want[(ida, idb)] = round(j, 6)
+    assert got == want
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs_df):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(docs_df, threshold=0.5).collect()
+    }
+    assert (0, 2) in pairs  # exact dup must be found
+    assert (0, 1) in pairs or (1, 2) in pairs  # near dup (high overlap)
+    assert (0, 5) not in pairs
+
+
+def test_simhash_pairs_match_bruteforce(spark, docs_df):
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dedup.simhash_pairs(docs_df, max_hamming=8).collect()
+    }
+    sims = {did: dedup._simhash_one(t.lower().split()) for did, t in DOCS}
+    want = {}
+    for i, (ida, _) in enumerate(DOCS):
+        for idb, _ in DOCS[i + 1 :]:
+            h = bin((sims[ida] ^ sims[idb]) & ((1 << 64) - 1)).count("1")
+            if h <= 8:
+                want[(ida, idb)] = h
+    # banding guarantees recall only for pairs sharing a 16-bit band;
+    # for hamming<=3 it is exact. Check exactness in that regime + subset above it.
+    for k, v in want.items():
+        if v <= 3:
+            assert got.get(k) == v, (k, v, got.get(k))
+    assert set(got) <= set(want)
+
+
+@pytest.fixture(scope="module")
+def vecs_df(spark):
+    rng = np.random.RandomState(0)
+    base = rng.randn(30, 64).astype("float32")
+    base[5] = base[0] + 0.01 * rng.randn(64)  # near-dup of 0
+    rows = [(i, base[i].tolist()) for i in range(30)]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"]), base
+
+
+def test_brute_force_topk_vs_numpy(spark, vecs_df):
+    df, base = vecs_df
+    queries = df.filter(F.col("vec_id") < 3)
+    got = similarity.brute_force_topk(df, queries, k=5).collect()
+    norm = base / np.linalg.norm(base, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    for q in range(3):
+        order = [
+            i for i in sorted(range(30), key=lambda i: (-round(sims[q, i], 6), i)) if i != q
+        ][:5]
+        got_q = [r["vec_id"] for r in sorted(got, key=lambda r: r["rank"]) if r["query_id"] == q]
+        assert got_q == order, (q, got_q, order)
+
+
+def test_lsh_topk_recall(spark, vecs_df):
+    df, _ = vecs_df
+    queries = df.filter(F.col("vec_id") < 3)
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.brute_force_topk(df, queries, k=3).collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.lsh_topk(df, queries, k=3, n_planes=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, recall
+    # the planted near-dup must be its query's top neighbor
+    top = {
+        r["query_id"]: r["vec_id"]
+        for r in similarity.lsh_topk(df, queries, k=1, n_planes=4).collect()
+    }
+    assert top.get(0) == 5
+
+
+def test_embedding_cosine_pairs(spark, vecs_df):
+    df, base = vecs_df
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_cosine_pairs(df, threshold=0.95, exact=True).collect()
+    }
+    assert (0, 5) in got
+    blocked = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.embedding_cosine_pairs(df, threshold=0.95, exact=False).collect()
+    }
+    assert blocked <= got  # LSH blocking never invents pairs
+    assert (0, 5) in blocked  # near-identical vectors share all sign buckets
+
+
+def test_multimodal_features_and_frames(spark):
+    assets = multimodal.synthetic_assets(spark, 12)
+    feats = multimodal.extract_features(assets).collect()
+    assert len(feats) == 12
+    for r in feats:
+        assert len(r["feature"]) == multimodal.FEATURE_DIM
+        assert r["n_bytes"] > 0
+    frames = multimodal.sample_frames(assets, every_n=2, frame_size=64).collect()
+    assert frames and all(r["frame_idx"] % 2 == 0 for r in frames)
+    with pytest.raises(Exception, match="NotImplemented|image decode"):
+        multimodal.extract_features(assets, real_decode=True).collect()

@@ -1,0 +1,92 @@
+"""Local stand-in for the driver's correctness gate: run each
+__spark_entry__.queries() entry at sf0.01 and compare against its
+oracle_sql() DuckDB twin (row count + column names + order-insensitive
+value comparison). Usage: python tools/check_oracles.py [sf_dir] [names...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import pandas as pd
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    import __spark_entry__ as entry
+
+    from structured_data_entity_extraction_spark.session import get_spark
+
+    spark = get_spark(master="local[8]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            failures.append((name, f"SPARK ERROR: {e}"))
+            print(f"FAIL  {name}: spark error {str(e)[:200]}")
+            continue
+        if name not in oracles:
+            print(f"rows  {name}: {len(sdf)} rows (rows-only check)")
+            if len(sdf) == 0 and name != "exact_dup_groups":
+                failures.append((name, "0 rows"))
+            continue
+        try:
+            ddf = con.sql(oracles[name]).df()
+        except Exception as e:
+            failures.append((name, f"DUCKDB ERROR: {e}"))
+            print(f"FAIL  {name}: duckdb error {str(e)[:200]}")
+            continue
+        a, b = normalize(sdf), normalize(ddf)
+        if list(a.columns) != list(b.columns):
+            failures.append((name, f"columns {list(a.columns)} vs {list(b.columns)}"))
+            print(f"FAIL  {name}: column mismatch {list(a.columns)} vs {list(b.columns)}")
+            continue
+        if len(a) != len(b):
+            failures.append((name, f"rows {len(a)} vs {len(b)}"))
+            print(f"FAIL  {name}: row count {len(a)} vs {len(b)}")
+            continue
+        if not a.equals(b):
+            diff = (a != b)
+            ndiff = int(diff.any(axis=1).sum())
+            failures.append((name, f"{ndiff} differing rows"))
+            idx = diff.any(axis=1)
+            print(f"FAIL  {name}: {ndiff}/{len(a)} differing rows")
+            print("  spark:", a[idx].head(3).to_dict("records"))
+            print("  duck :", b[idx].head(3).to_dict("records"))
+            continue
+        print(f"OK    {name}: {len(a)} rows")
+    print()
+    if failures:
+        print(f"{len(failures)} FAILURES:", [f[0] for f in failures])
+        sys.exit(1)
+    print("all oracle checks passed")
+
+
+if __name__ == "__main__":
+    main()
