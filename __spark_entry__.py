@@ -153,11 +153,11 @@ def q_unpivot_orders(spark, sf_dir):
         F.col("o_orderkey").cast("string").alias("subj"),
         F.explode(
             F.map_from_arrays(
-                F.array(F.lit("status"), F.lit("priority"), F.lit("clerk")),
+                F.array(F.lit("status"), F.lit("priority"), F.lit("custkey")),
                 F.array(
                     F.col("o_orderstatus"),
                     F.col("o_orderpriority"),
-                    F.col("o_clerk"),
+                    F.col("o_custkey").cast("string"),
                 ),
             )
         ).alias("pred", "obj"),
@@ -165,7 +165,11 @@ def q_unpivot_orders(spark, sf_dir):
 
 
 def q_exact_dup_groups(spark, sf_dir):
-    return dedup.exact_dup_groups(_docs(spark, sf_dir)).orderBy("text_sha")
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    doubled = docs.unionByName(
+        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    return dedup.exact_dup_groups(doubled).orderBy("text_sha")
 
 
 def q_ngram_jaccard(spark, sf_dir):
@@ -420,14 +424,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(o_orderkey AS VARCHAR), 'priority', o_orderpriority
             FROM orders WHERE o_orderkey < 1000
             UNION ALL
-            SELECT CAST(o_orderkey AS VARCHAR), 'clerk', o_clerk
+            SELECT CAST(o_orderkey AS VARCHAR), 'custkey', CAST(o_custkey AS VARCHAR)
             FROM orders WHERE o_orderkey < 1000
             ORDER BY subj, pred
         """,
         "exact_dup_groups": """
+            WITH doubled AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, text FROM documents
+            )
             SELECT sha256(coalesce(text, '')) AS text_sha,
                    count(*) AS n_docs, min(doc_id) AS keep_id
-            FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY text_sha
+            FROM doubled GROUP BY 1 HAVING count(*) > 1 ORDER BY text_sha
         """,
         "ngram_jaccard_pairs": _SHINGLES_CTE.format(filt="WHERE doc_id < 300")
         + """
@@ -447,19 +456,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_cosine_pairs": """
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   round(round(list_cosine_similarity(a.embedding::DOUBLE[],
-                         b.embedding::DOUBLE[]), 6), 4) AS cos_r
+                   round(list_cosine_similarity(a.embedding::DOUBLE[],
+                         b.embedding::DOUBLE[]), 4) AS cos_r
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
             WHERE a.vec_id < 400 AND b.vec_id < 400
-              AND round(list_cosine_similarity(a.embedding::DOUBLE[],
-                        b.embedding::DOUBLE[]), 6) >= 0.2
+              AND list_cosine_similarity(a.embedding::DOUBLE[],
+                        b.embedding::DOUBLE[]) >= 0.2
             ORDER BY id_a, id_b
         """,
         "ann_brute_force_topk": """
             WITH scored AS (
               SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
-                     round(list_cosine_similarity(q.embedding::DOUBLE[],
-                           c.embedding::DOUBLE[]), 6) AS cos
+                     list_cosine_similarity(q.embedding::DOUBLE[],
+                           c.embedding::DOUBLE[]) AS cos
               FROM embeddings q JOIN embeddings c ON c.vec_id != q.vec_id
               WHERE q.vec_id < 3
             ), ranked AS (

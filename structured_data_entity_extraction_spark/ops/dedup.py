@@ -224,5 +224,5 @@ def embedding_cosine_pairs(
     return joined.select(
         F.col("a.vid").alias("id_a"),
         F.col("b.vid").alias("id_b"),
-        F.round(cosine_expr(F.col("a.vec"), F.col("b.vec")), 6).alias("cos"),
+        cosine_expr(F.col("a.vec"), F.col("b.vec")).alias("cos"),
     ).filter(F.col("cos") >= threshold)

@@ -65,7 +65,7 @@ def brute_force_topk(
     scored = c.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
         "query_id",
         "vec_id",
-        F.round(cosine_expr(F.col("qvec"), F.col("cvec")), 6).alias("cos"),
+        cosine_expr(F.col("qvec"), F.col("cvec")).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
@@ -108,7 +108,7 @@ def lsh_topk(
     ).select(
         "query_id",
         "vec_id",
-        F.round(cosine_expr(F.col("qvec"), F.col("cvec")), 6).alias("cos"),
+        cosine_expr(F.col("qvec"), F.col("cvec")).alias("cos"),
     ).distinct()
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
