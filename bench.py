@@ -1,0 +1,133 @@
+"""Benchmark harness (driver contract): run the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Also reports triples/sec for the two KG pipelines (the BASELINE.json
+metric) and, with --scaling, the local[N] vs local[4N] throughput pair
+(scaling-efficiency evidence; see BENCH.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+AVALUO_DOCS_N = 2000
+REPOS_SRC_N = 20000
+
+
+def _kg_inputs(spark):
+    from structured_data_entity_extraction_spark.fixtures import avaluo_docs, repos_src_rows
+    from structured_data_entity_extraction_spark.schemas import AVALUO_DOCS, REPOS_SRC
+
+    corpus = avaluo_docs(AVALUO_DOCS_N, seed=42)
+    docs = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in corpus], AVALUO_DOCS
+    ).repartition(CPUS).cache()
+    rows = repos_src_rows(REPOS_SRC_N, seed=42)
+    repos = spark.createDataFrame(
+        [(r["repo"], r["path"], r["commit"], r["lang"], r["content"]) for r in rows],
+        REPOS_SRC,
+    ).repartition(CPUS).cache()
+    docs.count(), repos.count()  # materialize outside the timed region
+    return docs, repos
+
+
+def bench_queries(spark, sf_dir: str) -> tuple[dict, dict]:
+    import __spark_entry__ as entry
+    from structured_data_entity_extraction_spark import codekg
+    from structured_data_entity_extraction_spark.link import avaluo_records
+    from structured_data_entity_extraction_spark.triples import records_to_triples
+
+    docs, repos = _kg_inputs(spark)
+    q = entry.queries()
+
+    def run_avaluo(spark, _sf):
+        return records_to_triples(avaluo_records(docs))
+
+    def run_codekg(spark, _sf):
+        mentions = codekg.extract_code_mentions(repos)
+        cands = codekg.link_mentions(mentions, codekg.code_alias_dim(spark), use_lsh=False)
+        nodes = codekg.canonicalize(cands, codekg.code_alias_dim(spark))
+        return codekg.build_triples(cands, nodes)
+
+    plan = {
+        "tpch_q1": q["tpch_q1_pricing_summary"],
+        "region_rollup": q["region_rollup_broadcast_join"],
+        "vote_top1": q["vote_top1_marker"],
+        "exact_dup": q["exact_dup_groups"],
+        "ngram_jaccard": q["ngram_jaccard_pairs"],
+        "minhash_lsh": q["minhash_lsh_pairs"],
+        "ann_topk": q["ann_brute_force_topk"],
+        "text_stats": q["token_stats"],
+        "avaluo_triples": run_avaluo,
+        "codekg_triples": run_codekg,
+    }
+    timings: dict = {}
+    counts: dict = {}
+    for name, fn in plan.items():
+        t0 = time.time()
+        counts[name] = fn(spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+    return timings, counts
+
+
+def run(master: str, sf_dir: str) -> dict:
+    from structured_data_entity_extraction_spark.session import get_spark
+
+    spark = get_spark("bench", master=master)
+    spark.sparkContext.setLogLevel("ERROR")
+    t0 = time.time()
+    timings, counts = bench_queries(spark, sf_dir)
+    total = round(time.time() - t0, 3)
+    kg_triples = counts["avaluo_triples"] + counts["codekg_triples"]
+    kg_secs = timings["avaluo_triples"] + timings["codekg_triples"]
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "master": master,
+        "row_counts": counts,
+        "kg_triples_per_sec": round(kg_triples / kg_secs, 1) if kg_secs else None,
+    }
+    spark.stop()
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true", help="also run local[N] vs local[4N]")
+    args = ap.parse_args()
+    result = run(f"local[{CPUS}]", SF_DIR)
+    if args.scaling:
+        n = max(2, CPUS // 4)
+        lo = run(f"local[{n}]", SF_DIR)
+        hi = result
+        # throughput ratio vs core ratio (BASELINE.json:north_rule >= 0.8)
+        speedup = lo["value"] / hi["value"] if hi["value"] else 0.0
+        result["scaling"] = {
+            "n_cores": n,
+            "n4_cores": CPUS,
+            "secs_at_n": lo["value"],
+            "secs_at_4n": hi["value"],
+            "speedup": round(speedup, 3),
+            "efficiency": round(speedup / (CPUS / n), 3),
+            "queries_at_n": lo["queries"],
+        }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

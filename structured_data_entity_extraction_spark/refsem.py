@@ -69,7 +69,11 @@ def _compiled_branches():
             return test
 
         clave = [(p, re.compile(p)) for p in br["ciudades_clave"]]
-        out.append((make_test(gates), clave, br["patrones_ciudades"]))
+        # one alternation regex per branch: a single scan decides whether
+        # the 13-142 per-alias scans are needed at all (hot-path prefilter;
+        # most docs hit 0-1 branches out of 31)
+        any_alias = re.compile("|".join(f"(?:{p})" for p in br["ciudades_clave"]))
+        out.append((make_test(gates), clave, br["patrones_ciudades"], any_alias))
     return out
 
 
@@ -227,7 +231,7 @@ def pre_municipio(parrafo_municipio: str, estado_republica: str) -> str:
     p = re.sub(r"[\r\n]+", " ", norm_ws(parrafo_municipio)).strip().upper()
     if not estado_republica:
         return ""
-    for test, clave, patrones in _compiled_branches():
+    for test, clave, patrones, _any in _compiled_branches():
         if test(estado_republica):
             return ciudades_regex(p, clave, patrones)
     return ""
@@ -545,7 +549,9 @@ def muni_vote_counts(texto: str) -> list[tuple[int, int, int]]:
     if not p:
         return []
     out = []
-    for bid, (_test, clave, _patrones) in enumerate(_compiled_branches()):
+    for bid, (_test, clave, _patrones, any_alias) in enumerate(_compiled_branches()):
+        if not any_alias.search(p):
+            continue
         sel = []
         hit = False
         for _pat, rx in clave:
@@ -627,7 +633,7 @@ def state_branch_dim() -> list[tuple[str, int]]:
     states.update(geo_dims()["state_code_map"].values())
     out = []
     for st in sorted(states):
-        for bid, (test, _c, _p) in enumerate(_compiled_branches()):
+        for bid, (test, _c, _p, _a) in enumerate(_compiled_branches()):
             if test(st):
                 out.append((st, bid))
                 break
