@@ -287,10 +287,7 @@ def q_codekg_triples(spark, sf_dir):
         [(r["repo"], r["path"], r["commit"], r["lang"], r["content"]) for r in rows],
         REPOS_SRC,
     )
-    mentions = codekg.extract_code_mentions(df)
-    cands = codekg.link_mentions(mentions, codekg.code_alias_dim(spark), use_lsh=False)
-    nodes = codekg.canonicalize(cands, codekg.code_alias_dim(spark))
-    return codekg.build_triples(cands, nodes).orderBy("subj", "pred", "obj")
+    return codekg.build_kg(df, use_lsh=False).orderBy("subj", "pred", "obj")
 
 
 def q_multimodal_features(spark, sf_dir):

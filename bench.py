@@ -56,10 +56,7 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict, dict]:
         return records_to_triples(avaluo_records(docs))
 
     def run_codekg(spark, _sf):
-        mentions = codekg.extract_code_mentions(repos)
-        cands = codekg.link_mentions(mentions, codekg.code_alias_dim(spark), use_lsh=False)
-        nodes = codekg.canonicalize(cands, codekg.code_alias_dim(spark))
-        return codekg.build_triples(cands, nodes)
+        return codekg.build_kg(repos, use_lsh=False)
 
     plan = {
         "tpch_q1": q["tpch_q1_pricing_summary"],
@@ -106,26 +103,82 @@ def run(master: str, sf_dir: str) -> dict:
     return out
 
 
+def kg_job(cores: int, scale_mult: int | None = None) -> dict:
+    """The scaling-evidence job (north_rule): both KG pipelines over a
+    scaled-up seeded corpus, one fresh session, warmup pass excluded
+    from timing. Returns {cores, secs, triples, triples_per_sec}."""
+    from structured_data_entity_extraction_spark import codekg
+    from structured_data_entity_extraction_spark.fixtures import avaluo_docs, repos_src_rows
+    from structured_data_entity_extraction_spark.link import avaluo_records
+    from structured_data_entity_extraction_spark.schemas import AVALUO_DOCS, REPOS_SRC
+    from structured_data_entity_extraction_spark.session import get_spark
+    from structured_data_entity_extraction_spark.triples import records_to_triples
+
+    scale_mult = scale_mult or int(os.environ.get("SPARK_GRAFT_SCALE_MULT", "16"))
+    spark = get_spark("bench-scaling", master=f"local[{cores}]",
+                      shuffle_partitions=max(cores, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+    corpus = avaluo_docs(AVALUO_DOCS_N * scale_mult, seed=42)
+    docs = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in corpus], AVALUO_DOCS
+    ).repartition(cores * 2).cache()
+    rows = repos_src_rows(REPOS_SRC_N * scale_mult, seed=42)
+    repos = spark.createDataFrame(
+        [(r["repo"], r["path"], r["commit"], r["lang"], r["content"]) for r in rows],
+        REPOS_SRC,
+    ).repartition(cores * 2).cache()
+    docs.count(), repos.count()
+    # warmup: JIT + codegen + python worker pool spin-up, untimed
+    records_to_triples(avaluo_records(docs.limit(200), persist=False)).count()
+    codekg.build_kg(repos.limit(500), use_lsh=False).count()
+    t0 = time.time()
+    n1 = records_to_triples(avaluo_records(docs)).count()
+    n2 = codekg.build_kg(repos, use_lsh=False).count()
+    secs = round(time.time() - t0, 3)
+    spark.stop()
+    return {
+        "cores": cores,
+        "secs": secs,
+        "triples": n1 + n2,
+        "triples_per_sec": round((n1 + n2) / secs, 1) if secs else None,
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--scaling", action="store_true", help="also run local[N] vs local[4N]")
+    ap.add_argument("--scaling", action="store_true",
+                    help="run the KG job at local[N] vs local[4N] in fresh subprocesses")
+    ap.add_argument("--kg-job", type=int, default=0,
+                    help="(internal) run the scaling KG job at this core count")
     args = ap.parse_args()
-    result = run(f"local[{CPUS}]", SF_DIR)
+    if args.kg_job:
+        print(json.dumps(kg_job(args.kg_job)))
+        return
     if args.scaling:
+        # fresh process per parallelism level: no shared-JVM warmup bias
+        import subprocess
+
         n = max(2, CPUS // 4)
-        lo = run(f"local[{n}]", SF_DIR)
-        hi = result
-        # throughput ratio vs core ratio (BASELINE.json:north_rule >= 0.8)
-        speedup = lo["value"] / hi["value"] if hi["value"] else 0.0
-        result["scaling"] = {
-            "n_cores": n,
-            "n4_cores": CPUS,
-            "secs_at_n": lo["value"],
-            "secs_at_4n": hi["value"],
+        results = {}
+        for cores in (n, CPUS):
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--kg-job", str(cores)],
+                capture_output=True, text=True, check=True,
+            )
+            results[cores] = json.loads(out.stdout.strip().splitlines()[-1])
+        thr_n = results[n]["triples_per_sec"]
+        thr_4n = results[CPUS]["triples_per_sec"]
+        speedup = thr_4n / thr_n if thr_n else 0.0
+        print(json.dumps({
+            "metric": "kg_scaling",
+            "unit": "triples/sec",
+            "at_n": results[n],
+            "at_4n": results[CPUS],
             "speedup": round(speedup, 3),
             "efficiency": round(speedup / (CPUS / n), 3),
-            "queries_at_n": lo["queries"],
-        }
+        }))
+        return
+    result = run(f"local[{CPUS}]", SF_DIR)
     print(json.dumps(result))
 
 

@@ -25,15 +25,40 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 20,
+    small_threshold: int = 50_000,
 ) -> DataFrame:
     """edges(src, dst) -> (node, component) with component = min node id
-    (lexicographic) in the node's component. Deterministic."""
+    (lexicographic) in the node's component. Deterministic.
+
+    Adaptive execution: a graph under `small_threshold` edges (e.g. an
+    alias dictionary) is union-found on the driver in one pass -- the
+    distributed loop's per-round job latency would dominate it. Larger
+    graphs take the iterative path. Same results either way (tested)."""
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
         .distinct()
     )
+    if small_threshold and sym.limit(small_threshold + 1).count() <= small_threshold:
+        pairs = [(r["a"], r["b"]) for r in sym.collect()]
+        parent: dict = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        rows = [(n, find(n)) for n in parent]
+        return edges.sparkSession.createDataFrame(rows, ["node", "component"])
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()

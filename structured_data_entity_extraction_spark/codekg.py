@@ -79,6 +79,15 @@ def _pats(table: dict, lang: str):
 
 
 def _extract_code_one(content: str, lang: str) -> list[dict]:
+    """Per-row fault isolation: a failing row yields one `__error__`
+    mention instead of aborting the job (SURVEY.md §2.1 S6/T3)."""
+    try:
+        return _extract_code_unsafe(content, lang)
+    except Exception as e:  # noqa: BLE001 -- fault boundary by design
+        return [{"field": "__error__", "value": f"{type(e).__name__}: {e}", "span_start": -1}]
+
+
+def _extract_code_unsafe(content: str, lang: str) -> list[dict]:
     if not content:
         return []
     out = []
@@ -93,6 +102,14 @@ def _extract_code_one(content: str, lang: str) -> list[dict]:
                 out.append(
                     {"field": field, "value": m.group(1), "span_start": m.start(1)}
                 )
+    # secondary modal signal (S3 analogue, extractorAvaluos.py:161-180):
+    # shebang line / PEP-263 encoding cookie as cheap per-blob metadata
+    m = re.match(r"#!([^\n]+)", content)
+    if m:
+        out.append({"field": "shebang", "value": m.group(1).strip(), "span_start": 0})
+    m = re.search(r"^#.*?coding[:=]\s*([-\w.]+)", content, re.MULTILINE)
+    if m:
+        out.append({"field": "encoding", "value": m.group(1), "span_start": m.start(1)})
     # distinct identifiers, first-occurrence order, bounded
     seen = set()
     for m in _IDENT_RE.finditer(content):
@@ -300,6 +317,30 @@ def canonicalize(candidates: DataFrame, alias_dim: DataFrame) -> DataFrame:
 # ------------------------------------------------------------- stage D
 
 
+def build_kg(
+    repos_src: DataFrame,
+    alias_dim: DataFrame | None = None,
+    use_lsh: bool = True,
+    bucket_count: int = 64,
+) -> DataFrame:
+    """One-shot in-memory run of all four stages -> triples. The
+    checkpointed path (pipeline.run_codekg_pipeline) materializes each
+    stage instead; here intermediates that feed multiple consumers are
+    persisted so the extraction pUDF runs exactly once."""
+    from pyspark import StorageLevel
+
+    spark = repos_src.sparkSession
+    alias_dim = alias_dim or code_alias_dim(spark)
+    mentions = extract_code_mentions(repos_src, bucket_count).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    candidates = link_mentions(mentions, alias_dim, use_lsh=use_lsh).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    nodes = canonicalize(candidates, alias_dim)
+    return build_triples(candidates, nodes)
+
+
 def build_triples(candidates: DataFrame, nodes: DataFrame) -> DataFrame:
     """candidates + canonical nodes -> (subj, pred, obj) triples."""
     pred = (
@@ -307,6 +348,9 @@ def build_triples(candidates: DataFrame, nodes: DataFrame) -> DataFrame:
         .when(F.col("field") == "def", F.lit("declares_function"))
         .when(F.col("field") == "class", F.lit("declares_class"))
         .when(F.col("field") == "config", F.lit("has_config_key"))
+        .when(F.col("field") == "shebang", F.lit("has_shebang"))
+        .when(F.col("field") == "encoding", F.lit("has_encoding"))
+        .when(F.col("field") == "__error__", F.lit("extract_error"))
         .otherwise(F.lit("mentions_identifier"))
     )
     linked = candidates.join(

@@ -33,24 +33,41 @@ _EXTRACT_SCHEMA = T.StructType(
         T.StructField("estado_rank", T.IntegerType()),
         T.StructField("estado_digit", T.StringType()),
         T.StructField("muni_counts", MUNI_COUNTS_ARRAY),
+        T.StructField("error", T.StringType()),
     ]
 )
 
+_EMPTY_EXTRACT = {
+    "mentions": [],
+    "estado_rank": -1,
+    "estado_digit": "",
+    "muni_counts": [],
+    "error": None,
+}
+
 
 def _extract_one(texto):
-    rank, digit = refsem.estado_features(texto)
-    return {
-        "mentions": [
-            {"field": f, "anchor_rank": r, "span_start": s, "window": w}
-            for f, r, s, w in refsem.avaluo_windows(texto)
-        ],
-        "estado_rank": rank,
-        "estado_digit": digit,
-        "muni_counts": [
-            {"branch_id": b, "alias_rank": r, "cnt": c}
-            for b, r, c in refsem.muni_vote_counts(texto)
-        ],
-    }
+    """Per-row fault isolation (SURVEY.md §2.1 S6/T3): a kernel failure
+    becomes an `error` value on the row -- it never aborts the job
+    (reference precedent: every field fn swallows exceptions,
+    extractorAvaluos.py:109-110 etc.)."""
+    try:
+        rank, digit = refsem.estado_features(texto)
+        return {
+            "mentions": [
+                {"field": f, "anchor_rank": r, "span_start": s, "window": w}
+                for f, r, s, w in refsem.avaluo_windows(texto)
+            ],
+            "estado_rank": rank,
+            "estado_digit": digit,
+            "muni_counts": [
+                {"branch_id": b, "alias_rank": r, "cnt": c}
+                for b, r, c in refsem.muni_vote_counts(texto)
+            ],
+            "error": None,
+        }
+    except Exception as e:  # noqa: BLE001 -- fault boundary by design
+        return dict(_EMPTY_EXTRACT, error=f"{type(e).__name__}: {e}")
 
 
 @pandas_udf(_EXTRACT_SCHEMA)

@@ -176,7 +176,10 @@ def assemble_record(
     """The 13-field record, one row per doc (extractorAvaluos.py:933-956).
     estado/municipio computed ONCE and reused for legibilidad (plan-level
     CSE of the reference's 3x recompute -- SURVEY.md §4)."""
-    base = extracted.select("doc_id", "content_sha", "validez", "firma")
+    base = extracted.select(
+        "doc_id", "content_sha", "validez", "firma",
+        F.col("ext.error").alias("error"),
+    )
     rec = (
         base.join(estado_df, "doc_id", "left")
         .join(muni_df, "doc_id", "left")
@@ -202,16 +205,34 @@ def assemble_record(
         F.when(F.col("valor").isNotNull(), F.lit("SI"))
         .otherwise(F.lit("NO"))
         .alias("boolean_avaluo"),
+        "error",
     )
 
 
-def avaluo_records(docs: DataFrame, dims: dict[str, DataFrame] | None = None) -> DataFrame:
-    """End-to-end extract -> link -> assemble over docs(doc_id, text)."""
+def avaluo_records(
+    docs: DataFrame, dims: dict[str, DataFrame] | None = None, persist: bool = True
+) -> DataFrame:
+    """End-to-end extract -> link -> assemble over docs(doc_id, text).
+
+    The extract stage feeds FOUR consumers (estado, municipio vote,
+    mention parse, assembly); Catalyst does not CSE whole subplans, so
+    without persist the pandas UDF would re-run once per consumer.
+    In the checkpointed pipeline (pipeline.py) the stage write plays
+    this role; here MEMORY_AND_DISK persistence does (spills on fat
+    corpora instead of OOMing)."""
+    from pyspark import StorageLevel
+
     from .extract import extract_stage
 
     spark = docs.sparkSession
     dims = dims or dim_frames(spark)
     extracted = extract_stage(docs)
+    if persist:
+        # EAGER materialization: the four consumer subtrees otherwise
+        # race to populate the cache concurrently at high parallelism,
+        # each re-running the pUDF on not-yet-cached partitions
+        extracted = extracted.persist(StorageLevel.MEMORY_AND_DISK)
+        extracted.count()
     estado_df = resolve_estado(extracted, dims)
     muni_df = resolve_municipio(extracted, estado_df, dims)
     firsts_df = first_parsed(parse_mentions(extracted))

@@ -94,9 +94,16 @@ def test_cc_matches_union_find(spark):
     for i in range(20):
         edges.append((f"c{i:02d}", f"c{i+1:02d}"))
     df = spark.createDataFrame(edges, ["src", "dst"])
-    got = {r["node"]: r["component"] for r in connected_components(df).collect()}
     want = _union_find(edges)
-    assert got == want
+    # driver fast path (small graph)
+    got_fast = {r["node"]: r["component"] for r in connected_components(df).collect()}
+    assert got_fast == want
+    # distributed iterative path (forced)
+    got_dist = {
+        r["node"]: r["component"]
+        for r in connected_components(df, small_threshold=0).collect()
+    }
+    assert got_dist == want
 
 
 def test_pipeline_resume_and_lineage(spark, repos_df, tmp_path):
