@@ -152,6 +152,7 @@ def main():
                     help="(internal) run the scaling KG job at this core count")
     args = ap.parse_args()
     if args.kg_job:
+        os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
         print(json.dumps(kg_job(args.kg_job)))
         return
     if args.scaling:
