@@ -115,14 +115,15 @@ def kg_job(cores: int, scale_mult: int | None = None) -> dict:
     from structured_data_entity_extraction_spark.triples import records_to_triples
 
     scale_mult = scale_mult or int(os.environ.get("SPARK_GRAFT_SCALE_MULT", "16"))
+    content_scale = int(os.environ.get("SPARK_GRAFT_CONTENT_SCALE", "10"))
     spark = get_spark("bench-scaling", master=f"local[{cores}]",
                       shuffle_partitions=max(cores, 8))
     spark.sparkContext.setLogLevel("ERROR")
-    corpus = avaluo_docs(AVALUO_DOCS_N * scale_mult, seed=42)
+    corpus = avaluo_docs(AVALUO_DOCS_N * scale_mult, seed=42, content_scale=content_scale)
     docs = spark.createDataFrame(
         [(r["doc_id"], r["text"]) for r in corpus], AVALUO_DOCS
     ).repartition(cores * 2).cache()
-    rows = repos_src_rows(REPOS_SRC_N * scale_mult, seed=42)
+    rows = repos_src_rows(REPOS_SRC_N * scale_mult, seed=42, content_scale=content_scale)
     repos = spark.createDataFrame(
         [(r["repo"], r["path"], r["commit"], r["lang"], r["content"]) for r in rows],
         REPOS_SRC,

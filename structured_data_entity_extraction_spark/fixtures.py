@@ -59,7 +59,7 @@ def _states_with_branches():
     return picks
 
 
-def avaluo_docs(n: int = 200, seed: int = 42) -> list[dict]:
+def avaluo_docs(n: int = 200, seed: int = 42, content_scale: int = 1) -> list[dict]:
     """Rows: (doc_id, text). Golden values are NOT stored here -- tests
     derive them by running the reference (or refsem) on `text`."""
     rng = random.Random(seed)
@@ -75,7 +75,7 @@ def avaluo_docs(n: int = 200, seed: int = 42) -> list[dict]:
             parts.append("AVALÚO COMERCIAL folio %d" % rng.randint(1000, 9999))
         if rng.random() < 0.4:
             parts.append("firmado ante notario con certificado digital")
-        parts.append(_FILLER * rng.randint(1, 3))
+        parts.append(_FILLER * (rng.randint(1, 3) * content_scale))
         # estado + municipio (planted via branch dims)
         if kind != 9:  # kind 9 = no-geo doc
             prefix, canonical = prefixes[rng.randrange(len(prefixes))]
@@ -174,7 +174,7 @@ _IDENT_POOL = [
 ]
 
 
-def _content_for(lang: str, rng: random.Random) -> tuple[str, list[tuple[str, str]]]:
+def _content_for(lang: str, rng: random.Random, content_scale: int = 1) -> tuple[str, list[tuple[str, str]]]:
     """Return (content, planted [(field, value), ...])."""
     planted = []
     lines = []
@@ -227,15 +227,17 @@ def _content_for(lang: str, rng: random.Random) -> tuple[str, list[tuple[str, st
             else:
                 lines.append(f"{k} = {v}")
             planted.append(("config", k))
-    # comment filler so content sizes vary
-    lines.append("# " + " ".join("tok%d" % rng.randint(0, 50) for _ in range(rng.randint(0, 30))))
+    # comment filler so content sizes vary (content_scale approximates
+    # realistic file sizes: 1 -> ~300 B, 10 -> ~3 KB)
+    for _ in range(content_scale):
+        lines.append("# " + " ".join("tok%d" % rng.randint(0, 50) for _ in range(rng.randint(0, 30))))
     return "\n".join(lines), planted
 
 
 _EXT = {"python": "py", "javascript": "js", "rust": "rs", "go": "go", "yaml": "yaml", "ini": "ini"}
 
 
-def repos_src_rows(n: int = 500, seed: int = 42, n_repos: int = 20) -> list[dict]:
+def repos_src_rows(n: int = 500, seed: int = 42, n_repos: int = 20, content_scale: int = 1) -> list[dict]:
     """Zipf-skewed repo sizes: repo0 is the mega-repo (~40% of files)."""
     rng = random.Random(seed)
     weights = [1.0 / (k + 1) for k in range(n_repos)]
@@ -255,7 +257,7 @@ def repos_src_rows(n: int = 500, seed: int = 42, n_repos: int = 20) -> list[dict
         lang = _LANGS[rng.randrange(len(_LANGS))]
         path = f"src/pkg{rng.randint(0, 9)}/mod{i}.{_EXT[lang]}"
         commit = hashlib.sha1(f"{repo}:{seed}".encode()).hexdigest()
-        content, planted = _content_for(lang, rng)
+        content, planted = _content_for(lang, rng, content_scale)
         rows.append(
             {
                 "repo": repo,

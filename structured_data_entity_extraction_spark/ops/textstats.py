@@ -94,7 +94,6 @@ def shingles_col(text: Column, k: int = 3) -> Column:
     split -> sliding windows via transform over index sequence."""
     toks = F.split(F.trim(F.lower(text)), r"\s+")
     n = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)) - F.when(n < k, 0).otherwise(0))
     # guard: fewer than k tokens -> single shingle of the whole text
     return F.when(
         n < k, F.array(F.concat_ws(" ", toks))
