@@ -227,6 +227,75 @@ def q_quality(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_events_sessionize(spark, sf_dir):
+    """Sessionization via lag window: a session break is a >30-min gap
+    per user (streaming-adjacent semantics in batch form)."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gaps = ev.select(
+        "user_id",
+        "ts",
+        F.lag("ts").over(w).alias("prev_ts"),
+    ).withColumn(
+        "new_session",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (F.unix_timestamp("ts") - F.unix_timestamp("prev_ts") > 1800),
+            1,
+        ).otherwise(0),
+    )
+    return (
+        gaps.groupBy("user_id")
+        .agg(
+            F.sum("new_session").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def q_rollup_orders(spark, sf_dir):
+    """ROLLUP aggregation (grouping-sets family)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+        )
+        .orderBy("status", "priority")
+    )
+
+
+def q_top_orders_by_lines(spark, sf_dir):
+    """Top-10 orders by lineitem count (deterministic integer top-k)."""
+    from pyspark.sql import Window
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    counts = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_lines"))
+    w = Window.orderBy(F.desc("n_lines"), F.asc("l_orderkey"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .select("rnk", F.col("l_orderkey").alias("orderkey"), "n_lines")
+        .orderBy("rnk")
+    )
+
+
+def q_dedup_exact_kept(spark, sf_dir):
+    """Representative doc per distinct text after self-union dup blowup."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    doubled = docs.unionByName(
+        docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    kept = dedup.dedup_exact(doubled)
+    return kept.select("doc_id").orderBy("doc_id")
+
+
 def q_events_hourly(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return (
@@ -312,6 +381,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_fingerprint,
         "quality_score": q_quality,
         "events_hourly": q_events_hourly,
+        "events_sessionize_lag": q_events_sessionize,
+        "rollup_orders": q_rollup_orders,
+        "top_orders_by_lines": q_top_orders_by_lines,
+        "dedup_exact_kept": q_dedup_exact_kept,
         # rows-only (non-SQL-expressible: LSH banding / seeded-corpus KG)
         "minhash_lsh_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
@@ -514,6 +587,50 @@ def oracle_sql() -> dict[str, str]:
                        + 0.15 * (1.0 - least((CASE WHEN n > 0 THEN n_punct / CAST(n AS DOUBLE) ELSE 0.0 END) * 4.0, 1.0)),
                    4) AS quality
             FROM m ORDER BY doc_id
+        """,
+        "events_sessionize_lag": """
+            WITH gaps AS (
+              SELECT user_id, ts,
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+              FROM events
+            ), flagged AS (
+              SELECT user_id,
+                     CASE WHEN prev_ts IS NULL
+                          OR epoch(ts) - epoch(prev_ts) > 1800
+                          THEN 1 ELSE 0 END AS new_session
+              FROM gaps
+            )
+            SELECT user_id, sum(new_session) AS n_sessions,
+                   count(*) AS n_events
+            FROM flagged GROUP BY user_id ORDER BY user_id
+        """,
+        "rollup_orders": """
+            SELECT coalesce(o_orderstatus, 'ALL') AS status,
+                   coalesce(o_orderpriority, 'ALL') AS priority,
+                   count(*) AS n_orders
+            FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+            ORDER BY status, priority
+        """,
+        "top_orders_by_lines": """
+            WITH counts AS (
+              SELECT l_orderkey, count(*) AS n_lines
+              FROM lineitem GROUP BY l_orderkey
+            ), ranked AS (
+              SELECT l_orderkey, n_lines,
+                     row_number() OVER (ORDER BY n_lines DESC, l_orderkey ASC) AS rnk
+              FROM counts
+            )
+            SELECT rnk, l_orderkey AS orderkey, n_lines
+            FROM ranked WHERE rnk <= 10 ORDER BY rnk
+        """,
+        "dedup_exact_kept": """
+            WITH doubled AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, text FROM documents
+            )
+            SELECT min(doc_id) AS doc_id
+            FROM doubled GROUP BY coalesce(text, '') ORDER BY doc_id
         """,
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS hour, event_type,
