@@ -296,6 +296,25 @@ def q_dedup_exact_kept(spark, sf_dir):
     return kept.select("doc_id").orderBy("doc_id")
 
 
+def q_salted_repo_counts(spark, sf_dir):
+    """Two-phase salted aggregation (skew pattern): events per user via
+    (key, salt) partials then combine — result identical to a plain
+    groupBy, shuffle pressure spread over 16 salts."""
+    from structured_data_entity_extraction_spark.ops.skew import salted_agg
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = salted_agg(
+        ev,
+        key="user_id",
+        aggs={"n_events": "count", "total_value": "sum:value"},
+        salt_from=["event_id"],
+        n_salts=16,
+    )
+    return out.select(
+        "user_id", "n_events", F.round("total_value", 2).alias("total_value_r")
+    ).orderBy("user_id")
+
+
 def q_events_hourly(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return (
@@ -381,6 +400,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_fingerprint,
         "quality_score": q_quality,
         "events_hourly": q_events_hourly,
+        "salted_agg_counts": q_salted_repo_counts,
         "events_sessionize_lag": q_events_sessionize,
         "rollup_orders": q_rollup_orders,
         "top_orders_by_lines": q_top_orders_by_lines,
@@ -631,6 +651,11 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT min(doc_id) AS doc_id
             FROM doubled GROUP BY coalesce(text, '') ORDER BY doc_id
+        """,
+        "salted_agg_counts": """
+            SELECT user_id, count(*) AS n_events,
+                   round(sum(value), 2) AS total_value_r
+            FROM events GROUP BY user_id ORDER BY user_id
         """,
         "events_hourly": """
             SELECT date_trunc('hour', ts) AS hour, event_type,

@@ -1,0 +1,92 @@
+"""Property-based spot checks (SURVEY.md §5 item 5): random filler with
+PLANTED anchor+value -> the kernel recovers a value AND agrees with the
+actual reference function on the same random text. Deterministic
+(derandomize) so CI is stable."""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from structured_data_entity_extraction_spark import refsem
+from tests.ref_loader import load_reference
+
+REF = load_reference()
+
+pytestmark = pytest.mark.skipif(REF is None, reason="reference repo not present")
+
+# consonant-only filler: cannot collide with any anchor (all anchors
+# contain vowels) nor with '$', digits, or '33'
+_FILLER_WORD = st.text(alphabet="bcdfghjklmnpqrstvwxz", min_size=1, max_size=8)
+_FILLER = st.lists(_FILLER_WORD, min_size=0, max_size=30).map(" ".join)
+
+_SETTINGS = dict(
+    max_examples=60,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+@settings(**_SETTINGS)
+@given(
+    pre=_FILLER,
+    post=_FILLER,
+    whole=st.integers(min_value=1, max_value=99_999_999),
+    cents=st.integers(min_value=0, max_value=99),
+)
+def test_planted_money_recovered(pre, post, whole, cents):
+    text = f"{pre} VALOR CONCLUIDO ${whole:,}.{cents:02d} {post}"
+    got = refsem.valor(text)
+    want = REF["valor"](text)
+    assert tuple(got) == tuple(want)
+    assert got[1] == "SI"
+    assert got[0].endswith(f".{cents:02d}")
+
+
+@settings(**_SETTINGS)
+@given(
+    pre=_FILLER,
+    post=_FILLER,
+    day=st.integers(min_value=1, max_value=28),
+    month=st.integers(min_value=1, max_value=12),
+    year=st.integers(min_value=1990, max_value=2030),
+)
+def test_planted_date_recovered(pre, post, day, month, year):
+    text = f"{pre} fecha del {day:02d}/{month:02d}/{year} {post}"
+    got = refsem.fecha(text)
+    want = REF["fecha"](text)
+    assert got == want
+    assert got == f"{year}-{month:02d}-{day:02d}"
+
+
+_PREFIXES = sorted(refsem.geo_dims()["state_prefix_map"].items())
+
+
+@settings(**_SETTINGS)
+@given(
+    pre=_FILLER,
+    post=_FILLER,
+    idx=st.integers(min_value=0, max_value=len(_PREFIXES) - 1),
+)
+def test_planted_estado_recovered(pre, post, idx):
+    prefix, canonical = _PREFIXES[idx]
+    text = f"{pre} ENTIDAD FEDERATIVA {prefix} {post}"
+    got = refsem.estado(text)
+    want = REF["estado"](text)
+    assert got == want
+    # window is 100 chars past the anchor; the prefix always fits,
+    # and consonant filler can't introduce a competing keyword
+    assert got == refsem.fold_tildes(canonical)
+
+
+@settings(**_SETTINGS)
+@given(texts=st.lists(st.text(max_size=200), min_size=1, max_size=8))
+def test_never_raises_and_matches_reference(texts):
+    """Arbitrary unicode garbage: kernels must not raise and must agree
+    with the reference on every field."""
+    for t in texts:
+        for fn in ("validez", "opcion_de_firma", "estado", "colonia", "calle", "fecha"):
+            assert getattr(refsem, fn)(t) == REF[fn](t), (fn, repr(t))
+        assert tuple(refsem.valor(t)) == tuple(REF["valor"](t)), repr(t)
