@@ -368,10 +368,11 @@ def build_triples(candidates: DataFrame, nodes: DataFrame) -> DataFrame:
         "repo",
         "repo_bucket",
         "lang",
+        "content_sha",
         F.coalesce("score", F.lit(1.0)).alias("conf"),
     ).distinct()
     repo_triples = (
-        candidates.select("doc_id", "repo", "repo_bucket", "lang")
+        candidates.select("doc_id", "repo", "repo_bucket", "lang", "content_sha")
         .distinct()
         .select(
             F.col("repo").alias("subj"),
@@ -381,6 +382,7 @@ def build_triples(candidates: DataFrame, nodes: DataFrame) -> DataFrame:
             "repo",
             "repo_bucket",
             "lang",
+            "content_sha",
             F.lit(1.0).alias("conf"),
         )
     )

@@ -33,6 +33,21 @@ def _sha_xor_col():
     return F.conv(F.substring("content_sha", 1, 16), 16, 10).cast("decimal(20,0)")
 
 
+def doc_sha_digest(df: DataFrame, id_col: str = "doc_id", sha_col: str = "content_sha") -> str:
+    """Order-independent digest of the per-document content shas: sum of
+    the 64-bit folds over DISTINCT (doc_id, sha). Equal digests between
+    the input and a stage checkpoint prove the per-row sha256 invariant
+    survived the stage (BASELINE.json:input_hint) -- robust to row
+    multiplication (mentions explode) because of the distinct."""
+    row = (
+        df.select(F.col(id_col).alias("doc_id"), F.col(sha_col).alias("content_sha"))
+        .distinct()
+        .agg(F.sum(_sha_xor_col()).alias("d"))
+        .collect()[0]
+    )
+    return str(row["d"])
+
+
 def lineage_frame(df: DataFrame, stage: str, run_id: str) -> DataFrame:
     """Per-partition lineage rows: (stage, partition_id, rows,
     content_sha_xor, wall_ms, run_id). Uses spark_partition_id + one

@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from . import codekg
 from .link import avaluo_records, dim_frames
-from .materialize import StageStore
+from .materialize import StageStore, doc_sha_digest
 from .triples import records_to_triples
 
 
@@ -41,14 +41,35 @@ def run_codekg_pipeline(
     store = StageStore(out_root, run_id=run_id)
     metrics: dict = {"run_id": run_id, "stages": {}}
 
+    # the per-row invariant baseline: digest of (doc_id, sha256(content))
+    # over the raw input (BASELINE.json:input_hint)
+    input_digest = doc_sha_digest(
+        repos_src.select(
+            F.sha2(
+                F.concat_ws("\x00", F.col("repo"), F.col("path"), F.col("commit")), 256
+            ).alias("doc_id"),
+            F.sha2(F.coalesce(F.col("content"), F.lit("")), 256).alias("content_sha"),
+        )
+    )
+    metrics["input_sha_digest"] = input_digest
+
     def timed(stage, build, partition_by=None):
         t0 = time.time()
         df = store.run_stage(spark, stage, build, partition_by)
-        metrics["stages"][stage] = {
+        info = {
             "rows": store.manifest(stage)["rows"],
             "wall_s": round(time.time() - t0, 3),
             "resumed": store.manifest(stage)["run_id"] != run_id,
         }
+        if "content_sha" in df.columns:
+            digest = doc_sha_digest(df)
+            info["sha_invariant_ok"] = digest == input_digest
+            if not info["sha_invariant_ok"]:
+                raise RuntimeError(
+                    f"content sha256 invariant violated at stage {stage}: "
+                    f"{digest} != input {input_digest}"
+                )
+        metrics["stages"][stage] = info
         return df
 
     alias_dim = codekg.code_alias_dim(spark, alias_rows)
