@@ -29,6 +29,9 @@ DEFAULT_CONF = {
     "spark.sql.session.timeZone": "UTC",
     "spark.ui.enabled": "false",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    # shuffle/spill scratch: tmpfs when available (local-mode shuffle
+    # writes otherwise bottleneck on the VM's shared disk)
+    "spark.local.dir": os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/tmp"),
 }
 
 
