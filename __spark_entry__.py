@@ -173,8 +173,9 @@ def q_exact_dup_groups(spark, sf_dir):
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
-    return dedup.ngram_jaccard_pairs(docs, threshold=0.5).orderBy("id_a", "id_b")
+    return dedup.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), threshold=0.5, df_cap=1000
+    ).orderBy("id_a", "id_b")
 
 
 def q_cosine_pairs(spark, sf_dir):
@@ -334,13 +335,15 @@ def q_events_hourly(spark, sf_dir):
 
 
 def q_minhash_pairs(spark, sf_dir):
-    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 300)
-    return dedup.minhash_lsh_pairs(docs, threshold=0.6).orderBy("id_a", "id_b")
+    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.6).orderBy(
+        "id_a", "id_b"
+    )
 
 
 def q_simhash_pairs(spark, sf_dir):
-    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 400)
-    return dedup.simhash_pairs(docs, max_hamming=3).orderBy("id_a", "id_b")
+    return dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=3).orderBy(
+        "id_a", "id_b"
+    )
 
 
 def q_lsh_topk(spark, sf_dir):
@@ -375,7 +378,11 @@ def q_codekg_triples(spark, sf_dir):
         [(r["repo"], r["path"], r["commit"], r["lang"], r["content"]) for r in rows],
         REPOS_SRC,
     )
-    return codekg.build_kg(df, use_lsh=False).orderBy("subj", "pred", "obj")
+    return (
+        codekg.build_kg(df, use_lsh=False)
+        .select("subj", "pred", "obj", "doc_id", "repo", "lang", "content_sha", "conf")
+        .orderBy("subj", "pred", "obj")
+    )
 
 
 def q_multimodal_features(spark, sf_dir):
@@ -405,12 +412,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_orders": q_rollup_orders,
         "top_orders_by_lines": q_top_orders_by_lines,
         "dedup_exact_kept": q_dedup_exact_kept,
-        # rows-only (non-SQL-expressible: LSH banding / seeded-corpus KG)
+        # golden-fixture oracles (reference-derived / pure-Python twin
+        # parquet, committed at build time -- tools/make_goldens.py)
+        "avaluo_triples": q_avaluo_triples,
+        "codekg_triples": q_codekg_triples,
+        # rows-only (non-SQL-expressible: LSH banding / binary decode)
         "minhash_lsh_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "ann_lsh_topk": q_lsh_topk,
-        "avaluo_triples": q_avaluo_triples,
-        "codekg_triples": q_codekg_triples,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -433,6 +442,25 @@ WITH toks AS (
   )
 )
 """
+
+
+_GOLDEN_DIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    "structured_data_entity_extraction_spark", "data", "golden",
+)
+
+
+def _golden_oracle(name: str) -> str:
+    """Hash-checkable oracle for a seeded-corpus KG query: the expected
+    frame was materialized at build time by tools/make_goldens.py (the
+    avaluo one by executing the actual reference, the codekg one by a
+    pure-Python twin of the pipeline) and committed as parquet."""
+    path = os.path.join(_GOLDEN_DIR, f"{name}.parquet")
+    return f"""
+        SELECT subj, pred, obj, doc_id, repo, lang, content_sha, conf
+        FROM read_parquet('{path}')
+        ORDER BY subj, pred, obj
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -528,12 +556,16 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_docs, min(doc_id) AS keep_id
             FROM doubled GROUP BY 1 HAVING count(*) > 1 ORDER BY text_sha
         """,
-        "ngram_jaccard_pairs": _SHINGLES_CTE.format(filt="WHERE doc_id < 300")
+        "ngram_jaccard_pairs": _SHINGLES_CTE.format(filt="")
         + """
-            , sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+            , rare AS (
+              SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000
+            ),
+            shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY 1),
             common AS (
               SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
               GROUP BY 1, 2
             )
             SELECT id_a, id_b,
@@ -620,7 +652,7 @@ def oracle_sql() -> dict[str, str]:
                           THEN 1 ELSE 0 END AS new_session
               FROM gaps
             )
-            SELECT user_id, sum(new_session) AS n_sessions,
+            SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
                    count(*) AS n_events
             FROM flagged GROUP BY user_id ORDER BY user_id
         """,
@@ -662,4 +694,6 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events, round(sum(value), 2) AS total_value
             FROM events GROUP BY 1, 2 ORDER BY hour, event_type
         """,
+        "avaluo_triples": _golden_oracle("avaluo_triples"),
+        "codekg_triples": _golden_oracle("codekg_triples"),
     }

@@ -342,7 +342,17 @@ def build_kg(
 
 
 def build_triples(candidates: DataFrame, nodes: DataFrame) -> DataFrame:
-    """candidates + canonical nodes -> (subj, pred, obj) triples."""
+    """candidates + canonical nodes -> (subj, pred, obj) triples.
+
+    Dedup strategy (the scale-critical part): duplicates arise (a) from
+    repeated surface mentions within a doc -- killed BEFORE the node
+    join by a narrow dropDuplicates on (doc_id, field, value) -- and
+    (b) from distinct surfaces collapsing to one canonical obj -- killed
+    AFTER by a groupBy on (doc_id, pred, obj) that keeps max(conf) and
+    the doc-functional columns via max (all values equal per doc_id, so
+    max is deterministic). Never a full-row distinct over the wide
+    triple table: both shuffles key on narrow columns and get map-side
+    partial aggregation."""
     pred = (
         F.when(F.col("field") == "import", F.lit("imports"))
         .when(F.col("field") == "def", F.lit("declares_function"))
@@ -353,27 +363,47 @@ def build_triples(candidates: DataFrame, nodes: DataFrame) -> DataFrame:
         .when(F.col("field") == "__error__", F.lit("extract_error"))
         .otherwise(F.lit("mentions_identifier"))
     )
-    linked = candidates.join(
+    linked = candidates.dropDuplicates(["doc_id", "field", "value"]).join(
         nodes.select(F.col("surface").alias("value"), "canonical").withColumnRenamed(
             "canonical", "node_canonical"
         ),
         "value",
         "left",
     )
-    doc_triples = linked.select(
-        F.col("doc_id").alias("subj"),
-        pred.alias("pred"),
-        F.coalesce("node_canonical", "value").alias("obj"),
-        "doc_id",
-        "repo",
-        "repo_bucket",
-        "lang",
-        "content_sha",
-        F.coalesce("score", F.lit(1.0)).alias("conf"),
-    ).distinct()
+    doc_triples = (
+        linked.select(
+            F.col("doc_id").alias("subj"),
+            pred.alias("pred"),
+            F.coalesce("node_canonical", "value").alias("obj"),
+            "doc_id",
+            "repo",
+            "repo_bucket",
+            "lang",
+            "content_sha",
+            F.coalesce("score", F.lit(1.0)).alias("conf"),
+        )
+        .groupBy("doc_id", "pred", "obj")
+        .agg(
+            F.max("subj").alias("subj"),
+            F.max("repo").alias("repo"),
+            F.max("repo_bucket").alias("repo_bucket"),
+            F.max("lang").alias("lang"),
+            F.max("content_sha").alias("content_sha"),
+            F.max("conf").alias("conf"),
+        )
+        .select(
+            "subj", "pred", "obj", "doc_id", "repo", "repo_bucket", "lang",
+            "content_sha", "conf",
+        )
+    )
     repo_triples = (
-        candidates.select("doc_id", "repo", "repo_bucket", "lang", "content_sha")
-        .distinct()
+        candidates.groupBy("doc_id")
+        .agg(
+            F.max("repo").alias("repo"),
+            F.max("repo_bucket").alias("repo_bucket"),
+            F.max("lang").alias("lang"),
+            F.max("content_sha").alias("content_sha"),
+        )
         .select(
             F.col("repo").alias("subj"),
             F.lit("contains_file").alias("pred"),

@@ -48,6 +48,35 @@ def doc_sha_digest(df: DataFrame, id_col: str = "doc_id", sha_col: str = "conten
     return str(row["d"])
 
 
+def doc_sha_pairs(df: DataFrame, id_col: str = "doc_id", sha_col: str = "content_sha") -> DataFrame:
+    """Distinct (doc_id, content_sha) pairs -- the per-document invariant
+    set a stage must stay a SUBSET of."""
+    return df.select(
+        F.col(id_col).alias("doc_id"), F.col(sha_col).alias("content_sha")
+    ).distinct()
+
+
+def sha_invariant_report(stage_df: DataFrame, input_pairs: DataFrame, input_digest: str) -> dict:
+    """Verify the per-row sha256 invariant for one stage checkpoint.
+
+    Fast path: the order-independent digest matches the input digest
+    (no doc lost, no sha changed) -- one cheap aggregation. Slow path
+    (digest differs): a stage may legitimately DROP documents (explode
+    on an empty mention array drops zero-mention docs), but it must
+    never carry a (doc_id, content_sha) pair absent from the input --
+    that would mean a corrupted sha or a foreign row. The anti-join
+    distinguishes the two; only the latter is an error."""
+    pairs = doc_sha_pairs(stage_df)
+    digest = doc_sha_digest(stage_df)
+    if digest == input_digest:
+        return {"sha_invariant_ok": True, "docs_dropped": 0}
+    bad = pairs.join(input_pairs, ["doc_id", "content_sha"], "left_anti").count()
+    if bad:
+        return {"sha_invariant_ok": False, "bad_pairs": bad}
+    dropped = input_pairs.count() - pairs.count()
+    return {"sha_invariant_ok": True, "docs_dropped": dropped}
+
+
 def lineage_frame(df: DataFrame, stage: str, run_id: str) -> DataFrame:
     """Per-partition lineage rows: (stage, partition_id, rows,
     content_sha_xor, wall_ms, run_id). Uses spark_partition_id + one

@@ -54,16 +54,32 @@ def ngram_jaccard_pairs(
     k: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    df_cap: int = 1000,
 ) -> DataFrame:
     """(id_a, id_b, jaccard) for pairs with word-k-gram Jaccard >=
     threshold. Inverted-index join: explode distinct shingles, self-join
-    on shingle, count common, derive |A∪B| from per-doc sizes. Shuffle
-    keys are shingles -- hot shingles are bounded because shingle sets
-    are distinct per doc; AQE splits residual skew."""
+    on shingle, count common, derive |A∪B| from per-doc sizes.
+
+    Shingles whose document frequency exceeds ``df_cap`` are dropped
+    BEFORE the self-join (from sizes too, so the Jaccard is computed
+    consistently over the surviving rare shingles). Without the cap one
+    boilerplate shingle shared by m docs generates m^2 candidate pairs --
+    the quadratic blowup that kills this join at corpus scale. The
+    DuckDB oracle applies the identical cap. The threshold filter uses
+    the UNROUNDED ratio (rounding happens only in the projected column)
+    so boundary values agree with the oracle."""
     sh = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(shingles_col(F.col(text_col), k)).alias("shingle"),
     ).distinct()
+    if df_cap:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") <= df_cap)
+            .select("shingle")
+        )
+        sh = sh.join(rare, "shingle", "left_semi")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -74,17 +90,12 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    ratio = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
     return (
         common.join(sa, "id_a")
         .join(sb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
+        .filter(ratio >= threshold)
+        .select("id_a", "id_b", F.round(ratio, 6).alias("jaccard"))
     )
 
 

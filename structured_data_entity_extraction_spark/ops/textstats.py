@@ -55,16 +55,15 @@ def lang_id_cols(text: Column) -> list[Column]:
 
 def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """argmax language with deterministic tiebreak (lang name asc);
-    no hits -> 'und'."""
+    no hits -> 'und'. The when-chain mirrors the DuckDB oracle's CASE:
+    first lang in sorted order whose score equals the max wins."""
     scored = df.select("*", *lang_id_cols(F.col(text_col)))
     langs = sorted(LANG_MARKERS)
-    pairs = F.array(
-        *[F.struct(F.col(f"score_{l}").alias("s"), F.lit(l).alias("l")) for l in langs]
-    )
-    best = F.array_max(pairs)
-    return scored.withColumn(
-        "lang_pred", F.when(best["s"] > 0, best["l"]).otherwise(F.lit("und"))
-    )
+    best = F.greatest(*[F.col(f"score_{l}") for l in langs])
+    pick = F.when(best == 0, F.lit("und"))
+    for l in langs:
+        pick = pick.when(F.col(f"score_{l}") == best, F.lit(l))
+    return scored.withColumn("lang_pred", pick)
 
 
 def quality_score_col(text: Column) -> Column:

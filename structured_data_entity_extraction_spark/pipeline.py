@@ -23,8 +23,15 @@ from pyspark.sql import functions as F
 
 from . import codekg
 from .link import avaluo_records, dim_frames
-from .materialize import StageStore, doc_sha_digest
+from .materialize import StageStore, doc_sha_digest, doc_sha_pairs, sha_invariant_report
 from .triples import records_to_triples
+
+
+def length_gate(docs: DataFrame, min_chars: int = 50, text_col: str = "text") -> DataFrame:
+    """S1 -- the reference's page gate: keep only pages whose stripped
+    text exceeds ``min_chars`` (extractorAvaluos.py:18-29 keeps pages
+    with >50 chars). JVM-side filter, pushes down to the scan."""
+    return docs.filter(F.length(F.trim(F.coalesce(F.col(text_col), F.lit("")))) > min_chars)
 
 
 def run_codekg_pipeline(
@@ -41,16 +48,18 @@ def run_codekg_pipeline(
     store = StageStore(out_root, run_id=run_id)
     metrics: dict = {"run_id": run_id, "stages": {}}
 
-    # the per-row invariant baseline: digest of (doc_id, sha256(content))
-    # over the raw input (BASELINE.json:input_hint)
-    input_digest = doc_sha_digest(
-        repos_src.select(
-            F.sha2(
-                F.concat_ws("\x00", F.col("repo"), F.col("path"), F.col("commit")), 256
-            ).alias("doc_id"),
-            F.sha2(F.coalesce(F.col("content"), F.lit("")), 256).alias("content_sha"),
-        )
+    # the per-row invariant baseline: (doc_id, sha256(content)) over the
+    # raw input (BASELINE.json:input_hint). A stage may legitimately drop
+    # zero-mention docs (explode on []), so the check is "subset with no
+    # sha mismatch", with the cheap digest-equality fast path.
+    input_keyed = repos_src.select(
+        F.sha2(
+            F.concat_ws("\x00", F.col("repo"), F.col("path"), F.col("commit")), 256
+        ).alias("doc_id"),
+        F.sha2(F.coalesce(F.col("content"), F.lit("")), 256).alias("content_sha"),
     )
+    input_pairs = doc_sha_pairs(input_keyed).persist()
+    input_digest = doc_sha_digest(input_keyed)
     metrics["input_sha_digest"] = input_digest
 
     def timed(stage, build, partition_by=None):
@@ -62,12 +71,11 @@ def run_codekg_pipeline(
             "resumed": store.manifest(stage)["run_id"] != run_id,
         }
         if "content_sha" in df.columns:
-            digest = doc_sha_digest(df)
-            info["sha_invariant_ok"] = digest == input_digest
+            info.update(sha_invariant_report(df, input_pairs, input_digest))
             if not info["sha_invariant_ok"]:
                 raise RuntimeError(
                     f"content sha256 invariant violated at stage {stage}: "
-                    f"{digest} != input {input_digest}"
+                    f"{info['bad_pairs']} (doc_id, content_sha) pairs not in input"
                 )
         metrics["stages"][stage] = info
         return df
@@ -91,25 +99,51 @@ def run_codekg_pipeline(
         partition_by=["repo_bucket", "lang"],
     )
     metrics["triples"] = metrics["stages"]["triples"]["rows"]
+    input_pairs.unpersist()
     return metrics
 
 
 def run_avaluo_pipeline(
-    spark: SparkSession, docs: DataFrame, out_root: str, run_id: str = "run0"
+    spark: SparkSession,
+    docs: DataFrame,
+    out_root: str,
+    run_id: str = "run0",
+    min_page_chars: int | None = None,
 ) -> dict:
-    """docs(doc_id, text) -> 13-field records + triples, checkpointed."""
+    """docs(doc_id, text) -> 13-field records + triples, checkpointed.
+    ``min_page_chars`` wires the reference's S1 page gate (>50 chars,
+    extractorAvaluos.py:18-29); None preserves every row. Both stage
+    checkpoints carry content_sha and are verified against the (gated)
+    input's per-document sha set."""
     store = StageStore(out_root, run_id=run_id)
     dims = dim_frames(spark)
+    if min_page_chars is not None:
+        docs = length_gate(docs, min_page_chars)
+    input_keyed = docs.select(
+        "doc_id",
+        F.sha2(F.coalesce(F.col("text"), F.lit("")), 256).alias("content_sha"),
+    )
+    input_pairs = doc_sha_pairs(input_keyed).persist()
+    input_digest = doc_sha_digest(input_keyed)
+    out: dict = {"input_sha_digest": input_digest, "stages": {}}
     records = store.run_stage(
         spark, "records", lambda: avaluo_records(docs, dims)
     )
     triples = store.run_stage(
         spark, "triples", lambda: records_to_triples(records)
     )
-    return {
-        "records": store.manifest("records")["rows"],
-        "triples": store.manifest("triples")["rows"],
-    }
+    for stage, df in (("records", records), ("triples", triples)):
+        rep = sha_invariant_report(df, input_pairs, input_digest)
+        out["stages"][stage] = {"rows": store.manifest(stage)["rows"], **rep}
+        if not rep["sha_invariant_ok"]:
+            raise RuntimeError(
+                f"content sha256 invariant violated at stage {stage}: "
+                f"{rep['bad_pairs']} (doc_id, content_sha) pairs not in input"
+            )
+    input_pairs.unpersist()
+    out["records"] = out["stages"]["records"]["rows"]
+    out["triples"] = out["stages"]["triples"]["rows"]
+    return out
 
 
 def main(argv=None) -> None:

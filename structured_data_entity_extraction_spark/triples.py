@@ -1,10 +1,12 @@
 """Stage D (logical) -- TRIPLE PIVOT and the fidelity comparator.
 
 T2 (SURVEY.md §2.7): the 13-field record melts into 13
-``(subj=doc_id, pred=field, obj=value)`` triples via ``F.stack`` --
-a zero-shuffle projection. The P/R harness is a full outer join on
-``(doc_id, pred)`` with exact ``obj`` match (BASELINE.json:metric,
-target ≥0.95 both directions).
+``(subj=doc_id, pred=field, obj=value)`` triples via
+``explode(map_from_arrays(...))`` -- a zero-shuffle projection.
+``content_sha`` (the per-stage sha256 invariant key) is carried
+through when the record frame has it. The P/R harness is a full
+outer join on ``(doc_id, pred)`` with exact ``obj`` match
+(BASELINE.json:metric, target ≥0.95 both directions).
 """
 
 from __future__ import annotations
@@ -15,16 +17,9 @@ from pyspark.sql import functions as F
 from .schemas import RECORD_FIELDS
 
 
-def records_to_triples(records: DataFrame, extra_cols: dict | None = None) -> DataFrame:
-    """record df (doc_id + 13 field cols [+ repo/lang]) -> triples df."""
-    stack_args = []
-    for f in RECORD_FIELDS:
-        stack_args.append(F.lit(f))
-        stack_args.append(F.col(f))
-    cols = [
-        F.col("doc_id").alias("subj"),
-        F.stack(F.lit(len(RECORD_FIELDS)), *stack_args).alias("pred_obj"),
-    ]
+def records_to_triples(records: DataFrame) -> DataFrame:
+    """record df (doc_id + 13 field cols [+ repo/lang/content_sha]) ->
+    triples df (subj, pred, obj, doc_id, repo, lang, content_sha, conf)."""
     out = records.select(
         "doc_id",
         *[c for c in ("repo", "lang", "content_sha") if c in records.columns],
@@ -35,13 +30,17 @@ def records_to_triples(records: DataFrame, extra_cols: dict | None = None) -> Da
             )
         ).alias("pred", "obj"),
     )
+    opt = lambda c: (  # noqa: E731
+        F.col(c) if c in records.columns else F.lit(None).cast("string")
+    ).alias(c)
     return out.select(
         F.col("doc_id").alias("subj"),
         "pred",
         "obj",
         "doc_id",
-        (F.col("repo") if "repo" in records.columns else F.lit(None).cast("string")).alias("repo"),
-        (F.col("lang") if "lang" in records.columns else F.lit(None).cast("string")).alias("lang"),
+        opt("repo"),
+        opt("lang"),
+        opt("content_sha"),
         F.lit(1.0).alias("conf"),
     )
 

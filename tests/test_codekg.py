@@ -163,3 +163,42 @@ def test_lsh_links_near_aliases(spark):
     assert got["numpyy"][0] == "numpy"
     assert got["numpyy"][1] == "lsh"
     assert got["totallyunknownmod"][0] is None
+
+
+def test_empty_content_doc_does_not_abort(spark, tmp_path):
+    """ADVICE r1 (high): a doc with zero extractable mentions (empty or
+    comment-only content) is dropped by the mentions explode; the sha
+    invariant must treat that as a legitimate subset, not corruption."""
+    rows = [
+        ("o/r", "empty.py", "c" * 40, "python", ""),
+        ("o/r", "comment.py", "d" * 40, "python", None),
+        ("o/r", "real.py", "e" * 40, "python", "import numpy\ndef load_data(x):\n    return x"),
+    ]
+    df = spark.createDataFrame(rows, REPOS_SRC)
+    m = run_codekg_pipeline(spark, df, str(tmp_path / "w"), use_lsh=False)
+    assert m["triples"] > 0
+    assert m["stages"]["mentions"]["sha_invariant_ok"] is True
+    assert m["stages"]["mentions"]["docs_dropped"] == 2
+
+
+def test_avaluo_pipeline_gate_and_invariant(spark, tmp_path):
+    """S1 page gate (>50 chars) + per-stage sha invariant on the avaluo
+    path (reference: extractorAvaluos.py:18-29)."""
+    from structured_data_entity_extraction_spark.pipeline import (
+        length_gate,
+        run_avaluo_pipeline,
+    )
+    from structured_data_entity_extraction_spark.schemas import AVALUO_DOCS
+
+    rows = [
+        ("d1", ""),  # gated out
+        ("d2", "  corto  "),  # gated out (<=50 after trim)
+        ("d3", "AVALÚO COMERCIAL folio 1234 " + "relleno " * 20 + "VALOR CONCLUIDO $1,234,567.89"),
+    ]
+    docs = spark.createDataFrame(rows, AVALUO_DOCS)
+    assert length_gate(docs).count() == 1
+    m = run_avaluo_pipeline(spark, docs, str(tmp_path / "w"), min_page_chars=50)
+    assert m["records"] == 1
+    assert m["triples"] == 13
+    for stage in ("records", "triples"):
+        assert m["stages"][stage]["sha_invariant_ok"] is True

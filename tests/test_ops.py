@@ -190,3 +190,32 @@ def test_multimodal_features_and_frames(spark):
     assert frames and all(r["frame_idx"] % 2 == 0 for r in frames)
     with pytest.raises(Exception, match="NotImplemented|image decode"):
         multimodal.extract_features(assets, real_decode=True).collect()
+
+
+def test_lang_id_tiebreak_ascending(spark):
+    """Tied marker scores pick the lexicographically SMALLEST language,
+    mirroring the DuckDB oracle's CASE order (ADVICE r1 medium)."""
+    df = spark.createDataFrame([(0, "the el"), (1, "")], ["doc_id", "text"])
+    got = {r["doc_id"]: r["lang_pred"] for r in textstats.lang_id(df).collect()}
+    assert got[0] == "en"  # en/es tie at 1 -> 'en' (asc), not 'es'
+    assert got[1] == "und"
+
+
+def test_ngram_jaccard_df_cap_bounds_hot_shingle(spark):
+    """A boilerplate shingle shared by m docs must NOT generate m^2
+    pairs: with df_cap below m, the hot shingle is pruned from the
+    inverted index (and from the sizes, consistently), so only the
+    genuinely-similar planted pair survives."""
+    hot = "shared boilerplate header"
+    rows = [(i, f"{hot} unique{i} tail{i} token{i}") for i in range(60)]
+    rows.append((100, "alpha beta gamma delta epsilon zeta"))
+    rows.append((101, "alpha beta gamma delta epsilon eta"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    capped = dedup.ngram_jaccard_pairs(df, threshold=0.3, df_cap=50).collect()
+    got = {(r["id_a"], r["id_b"]) for r in capped}
+    assert (100, 101) in got
+    # without the cap the 60 boilerplate docs alone give C(60,2)=1770
+    # candidate pairs; with it, none of them survive
+    assert all(a >= 100 for a, _ in got)
+    uncapped = dedup.ngram_jaccard_pairs(df, threshold=0.01, df_cap=0)
+    assert uncapped.count() > 1000  # proves the blowup the cap prevents

@@ -18,13 +18,16 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def _canon(v):
+    """Stringify WITHOUT collapsing float->int: the driver's value hash
+    distinguishes int64 3 from float64 3.0 (a DuckDB HUGEINT sum comes
+    back as float64), so the local gate must too -- a dtype mismatch
+    that the old int-collapse masked caused the only round-1 hash fail
+    (events_sessionize_lag). Oracles must CAST to the Spark-side dtype."""
     if v is None:
         return "NULL"
     if isinstance(v, float):
         if v != v:
             return "NaN"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
         return repr(v)
     return str(v)
 

@@ -1,0 +1,208 @@
+"""Materialize golden parquet fixtures that let the driver's DuckDB
+oracle hash-check the two flagship KG queries (VERDICT.md next-round #1).
+
+- ``avaluo_triples.parquet`` -- the EXACT expected output of
+  ``q_avaluo_triples`` (avaluo_docs(200, seed=42) -> 13 triples/doc),
+  derived by executing the ACTUAL reference field functions
+  (extractorAvaluos.py, loaded via tests/ref_loader.py) per document.
+  Independent of every Spark code path.
+
+- ``codekg_triples.parquet`` -- the expected output of
+  ``q_codekg_triples`` (repos_src_rows(400, seed=42), use_lsh=False),
+  computed by a pure-Python single-process twin of the pipeline:
+  same extraction kernel, but dict linking / union-find
+  canonicalization / dedup re-implemented without Spark, so the
+  fixture validates the join + CC + dedup plumbing end to end.
+
+Run from the repo root (needs /root/reference present):
+    python tools/make_goldens.py
+
+The fixtures are committed; the oracle SQL reads them with DuckDB's
+``read_parquet`` at check time (no reference needed then).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from structured_data_entity_extraction_spark import codekg  # noqa: E402
+from structured_data_entity_extraction_spark.fixtures import avaluo_docs, repos_src_rows  # noqa: E402
+from structured_data_entity_extraction_spark.schemas import RECORD_FIELDS  # noqa: E402
+
+GOLDEN_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "structured_data_entity_extraction_spark", "data", "golden",
+)
+
+TRIPLE_SCHEMA = pa.schema(
+    [
+        ("subj", pa.string()),
+        ("pred", pa.string()),
+        ("obj", pa.string()),
+        ("doc_id", pa.string()),
+        ("repo", pa.string()),
+        ("lang", pa.string()),
+        ("content_sha", pa.string()),
+        ("conf", pa.float64()),
+    ]
+)
+
+
+def _sha(s: str) -> str:
+    return hashlib.sha256((s or "").encode("utf-8")).hexdigest()
+
+
+def _write(rows: list[dict], name: str) -> None:
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+    cols = {f: [r[f] for r in rows] for f in TRIPLE_SCHEMA.names}
+    table = pa.Table.from_pydict(cols, schema=TRIPLE_SCHEMA)
+    path = os.path.join(GOLDEN_DIR, name)
+    pq.write_table(table, path, compression="zstd")
+    print(f"wrote {path}: {len(rows)} rows")
+
+
+# ----------------------------------------------------------- avaluo golden
+
+
+def make_avaluo_golden() -> None:
+    from tests.ref_loader import load_reference
+
+    ref = load_reference()
+    if ref is None:
+        raise SystemExit("reference repo not present; cannot build avaluo golden")
+    rows = []
+    for r in avaluo_docs(200, seed=42):
+        t = r["text"]
+        avaluo, bool_avaluo = ref["valor"](t)
+        rec = {
+            "validez_del_formato": ref["validez"](t),
+            "opcion_de_firma": ref["opcion_de_firma"](t),
+            "legibilidad": ref["legibilidad"](t),
+            "codigo_de_barras": "",
+            "boolean_codigo_de_barras": "NO",
+            "CB_Nomenclatura_Completez": "NO",
+            "estado": ref["estado"](t),
+            "municipio": ref["municipio"](t),
+            "colonia": ref["colonia"](t),
+            "calle": ref["calle"](t),
+            "fecha": ref["fecha"](t),
+            "avaluo": avaluo,
+            "boolean_avaluo": bool_avaluo,
+        }
+        assert set(rec) == set(RECORD_FIELDS)
+        sha = _sha(t)
+        for pred in RECORD_FIELDS:
+            rows.append(
+                {
+                    "subj": r["doc_id"],
+                    "pred": pred,
+                    "obj": rec[pred],
+                    "doc_id": r["doc_id"],
+                    "repo": None,
+                    "lang": None,
+                    "content_sha": sha,
+                    "conf": 1.0,
+                }
+            )
+    _write(rows, "avaluo_triples.parquet")
+
+
+# ----------------------------------------------------------- codekg golden
+
+_PRED = {
+    "import": "imports",
+    "def": "declares_function",
+    "class": "declares_class",
+    "config": "has_config_key",
+    "shebang": "has_shebang",
+    "encoding": "has_encoding",
+    "__error__": "extract_error",
+}
+
+
+def make_codekg_golden() -> None:
+    src = repos_src_rows(400, seed=42)
+    alias_rows = codekg.default_code_alias_rows()
+    alias_map = dict(alias_rows)
+
+    # union-find over the dim graph (use_lsh=False: candidate edges are a
+    # subset of dim edges, so the graph is exactly the dim edges)
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, c in alias_rows:
+        ra, rc = find(a), find(c)
+        if ra != rc:
+            parent[max(ra, rc)] = min(ra, rc)
+    # canonical per component: min dim canonical present, else component id
+    comp_canon: dict = {}
+    for _, c in alias_rows:
+        root = find(c)
+        comp_canon[root] = min(comp_canon.get(root, c), c)
+    node_canonical = {n: comp_canon.get(find(n), find(n)) for n in parent}
+
+    triples: dict = {}  # (doc_id, pred, obj) -> row (max conf)
+    repo_rows: dict = {}  # doc_id -> row
+    for r in src:
+        doc_id = _sha2_concat(r["repo"], r["path"], r["commit"])
+        content_sha = _sha(r["content"])
+        mentions = codekg._extract_code_one(r["content"], r["lang"])
+        if not mentions:
+            continue  # explode drops zero-mention docs
+        seen_mention = set()
+        for m in mentions:
+            key = (doc_id, m["field"], m["value"])
+            if key in seen_mention:
+                continue  # dropDuplicates(doc_id, field, value)
+            seen_mention.add(key)
+            obj = node_canonical.get(m["value"], m["value"])
+            conf = 1.0 if alias_map.get(m["value"]) else 1.0  # score coalesce
+            pred = _PRED.get(m["field"], "mentions_identifier")
+            tkey = (doc_id, pred, obj)
+            row = {
+                "subj": doc_id,
+                "pred": pred,
+                "obj": obj,
+                "doc_id": doc_id,
+                "repo": r["repo"],
+                "lang": r["lang"],
+                "content_sha": content_sha,
+                "conf": conf,
+            }
+            if tkey not in triples or conf > triples[tkey]["conf"]:
+                triples[tkey] = row
+        repo_rows[doc_id] = {
+            "subj": r["repo"],
+            "pred": "contains_file",
+            "obj": doc_id,
+            "doc_id": doc_id,
+            "repo": r["repo"],
+            "lang": r["lang"],
+            "content_sha": content_sha,
+            "conf": 1.0,
+        }
+    _write(list(triples.values()) + list(repo_rows.values()), "codekg_triples.parquet")
+
+
+def _sha2_concat(*parts: str) -> str:
+    return hashlib.sha256("\x00".join(parts).encode("utf-8")).hexdigest()
+
+
+if __name__ == "__main__":
+    make_avaluo_golden()
+    make_codekg_golden()
