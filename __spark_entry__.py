@@ -416,7 +416,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # parquet, committed at build time -- tools/make_goldens.py)
         "avaluo_triples": q_avaluo_triples,
         "codekg_triples": q_codekg_triples,
-        # rows-only (non-SQL-expressible: LSH banding / binary decode)
         "minhash_lsh_pairs": q_minhash_pairs,
         "simhash_pairs": q_simhash_pairs,
         "ann_lsh_topk": q_lsh_topk,
@@ -450,16 +449,19 @@ _GOLDEN_DIR = os.path.join(
 )
 
 
-def _golden_oracle(name: str) -> str:
-    """Hash-checkable oracle for a seeded-corpus KG query: the expected
-    frame was materialized at build time by tools/make_goldens.py (the
-    avaluo one by executing the actual reference, the codekg one by a
-    pure-Python twin of the pipeline) and committed as parquet."""
+_TRIPLE_COLS = "subj, pred, obj, doc_id, repo, lang, content_sha, conf"
+
+
+def _golden_oracle(name: str, cols: str = _TRIPLE_COLS) -> str:
+    """Hash-checkable oracle against a golden parquet fixture
+    materialized at build time by tools/make_goldens.py: the avaluo one
+    by executing the actual reference, the others by pure-Python twins
+    (brute force / sequential-IEEE arithmetic) independent of Spark."""
     path = os.path.join(_GOLDEN_DIR, f"{name}.parquet")
     return f"""
-        SELECT subj, pred, obj, doc_id, repo, lang, content_sha, conf
+        SELECT {cols}
         FROM read_parquet('{path}')
-        ORDER BY subj, pred, obj
+        ORDER BY 1, 2, 3
     """
 
 
@@ -696,4 +698,46 @@ def oracle_sql() -> dict[str, str]:
         """,
         "avaluo_triples": _golden_oracle("avaluo_triples"),
         "codekg_triples": _golden_oracle("codekg_triples"),
+        "simhash_pairs": _golden_oracle("simhash_pairs", "id_a, id_b, hamming"),
+        "ann_lsh_topk": _golden_oracle("ann_lsh_topk", "query_id, rank, vec_id, cos_r"),
+        "multimodal_features": _golden_oracle(
+            "multimodal_features", "asset_id, kind, n_bytes"
+        ),
+        # native MinHash-LSH: md5 minhashes + banding are bit-identical
+        # in DuckDB, so even the LSH candidate generation has an exact
+        # SQL twin (threshold 0.6, 16 hashes, bands of 2)
+        "minhash_lsh_pairs": _SHINGLES_CTE.format(filt="")
+        + """
+            , hashes AS (
+              SELECT doc_id, i,
+                     min(substring(md5(i::VARCHAR || ':' || shingle), 1, 16)) AS h
+              FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS i) GROUP BY doc_id, i
+            ),
+            bands AS (
+              SELECT doc_id, i // 2 AS band,
+                     md5(string_agg(h, '|' ORDER BY i)) AS key
+              FROM hashes GROUP BY doc_id, i // 2
+            ),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM bands a
+              JOIN bands b ON a.band = b.band AND a.key = b.key
+                          AND a.doc_id < b.doc_id
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+            common AS (
+              SELECT c.id_a, c.id_b, count(*) AS n_common
+              FROM cand c
+              JOIN sh a ON a.doc_id = c.id_a
+              JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+            FROM common
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.6
+            ORDER BY id_a, id_b
+        """,
     }

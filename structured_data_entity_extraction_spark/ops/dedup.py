@@ -102,36 +102,87 @@ def ngram_jaccard_pairs(
 # --------------------------------------------------------- MinHash-LSH
 
 
+def minhash_col(grams: F.Column, i: int) -> F.Column:
+    """i-th minhash of a shingle array: min over md5(f'{i}:{shingle}')
+    hex prefixes. md5-on-utf8 is bit-identical in the JVM, hashlib and
+    DuckDB, so the whole operator has an exact ANSI-SQL oracle twin --
+    no pyspark.ml black box."""
+    return F.array_min(
+        F.transform(grams, lambda g: F.substring(F.md5(F.concat(F.lit(f"{i}:"), g)), 1, 16))
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     threshold: float = 0.8,
     k: int = 3,
-    num_hashes: int = 32,
+    num_hashes: int = 16,
+    rows_per_band: int = 2,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Approximate Jaccard near-dup pairs via pyspark.ml MinHashLSH
-    (shingle -> hashingTF -> minhash band/bucket join). Returns
-    (id_a, id_b, approx_jaccard)."""
-    from pyspark.ml.feature import HashingTF, MinHashLSH
+    """Jaccard near-dup pairs via native MinHash-LSH banding -- pure
+    DataFrame ops, no pyspark.ml (the ml pipeline carried ~13 s of
+    fixed fit/transform overhead per call and an unreproducible hash).
 
+    Shingle array -> ``num_hashes`` md5 minhashes -> bands of
+    ``rows_per_band`` (band key = md5 of the concatenated band mins) ->
+    self-join per band generates candidates -> EXACT Jaccard on the
+    shingle arrays (array_intersect/array_union, JVM-side) filters to
+    >= threshold. With b=8 bands of r=2 the candidate-recall s-curve is
+    1-(1-j^2)^8: j=0.5 -> 0.90, j=0.6 -> 0.97, j=0.8 -> 0.9998.
+    Returned jaccard is exact (not the minhash estimate), so found
+    pairs match ngram_jaccard_pairs exactly; only recall is approximate.
+
+    Scale: the band join keys on (band, 128-bit key) -- bucket sizes
+    are the number of docs agreeing on r minhashes, so hot buckets mean
+    real near-dup clusters, which any LSH must pay for; AQE skew-split
+    handles residual imbalance. One shuffle for the signature agg, one
+    for the band join, one narrow rejoin for the gram arrays."""
+    n_bands = num_hashes // rows_per_band
     sh = df.select(
         F.col(id_col).alias("doc_id"), shingles_col(F.col(text_col), k).alias("grams")
     ).filter(F.size("grams") > 0)
-    tf = HashingTF(inputCol="grams", outputCol="features", numFeatures=1 << 18)
-    feat = tf.transform(sh)
-    lsh = MinHashLSH(
-        inputCol="features", outputCol="hashes", numHashTables=num_hashes, seed=42
+    mins = [minhash_col(F.col("grams"), i).alias(f"h{i}") for i in range(num_hashes)]
+    sigs = sh.select("doc_id", *mins)
+    band_entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)],
+                    )
+                ).alias("key"),
+            )
+            for b in range(n_bands)
+        ]
     )
-    model = lsh.fit(feat)
-    pairs = model.approxSimilarityJoin(feat, feat, 1.0 - threshold, distCol="dist")
-    return (
-        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
-        .select(
-            F.col("datasetA.doc_id").alias("id_a"),
-            F.col("datasetB.doc_id").alias("id_b"),
-            F.round(1.0 - F.col("dist"), 6).alias("approx_jaccard"),
+    banded = sigs.select("doc_id", F.explode(band_entries).alias("bk")).select(
+        "doc_id", "bk.band", "bk.key"
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    ga = sh.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("grams_a"))
+    gb = sh.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("grams_b"))
+    ratio = F.size(F.array_intersect("grams_a", "grams_b")) / F.size(
+        F.array_union("grams_a", "grams_b")
+    )
+    return (
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        .filter(ratio >= threshold)
+        .select("id_a", "id_b", F.round(ratio, 6).alias("jaccard"))
     )
 
 

@@ -203,6 +203,132 @@ def _sha2_concat(*parts: str) -> str:
     return hashlib.sha256("\x00".join(parts).encode("utf-8")).hexdigest()
 
 
+# ------------------------------------------------- sf0.01-input goldens
+#
+# simhash_pairs / ann_lsh_topk read the driver's sf0.01 tables; their
+# goldens are computed here by pure-Python twins (brute force for
+# simhash -- the 4x16-bit banding is EXACT for hamming<=3, so brute
+# force equals the banded result and validates the banding; sequential
+# IEEE-754 left-fold arithmetic for the cosine/sign-LSH twin, matching
+# Spark's aggregate() evaluation order bit for bit).
+
+SF001 = "/root/testdata/sf0.01"
+
+
+def _round_half_up(x: float, digits: int) -> float:
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(1).scaleb(-digits)
+    return float(Decimal(x).quantize(q, rounding=ROUND_HALF_UP))
+
+
+def make_simhash_golden() -> None:
+    from structured_data_entity_extraction_spark.ops.dedup import _simhash_one
+
+    docs = pq.read_table(os.path.join(SF001, "documents.parquet")).to_pylist()
+    sims = {d["doc_id"]: _simhash_one((d["text"] or "").lower().split()) for d in docs}
+    ids = sorted(sims)
+    rows = []
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            h = bin((sims[a] ^ sims[b]) & ((1 << 64) - 1)).count("1")
+            if h <= 3:
+                rows.append({"id_a": a, "id_b": b, "hamming": h})
+    schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()), ("hamming", pa.int32())])
+    table = pa.Table.from_pydict(
+        {k: [r[k] for r in rows] for k in schema.names}, schema=schema
+    )
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+    pq.write_table(table, os.path.join(GOLDEN_DIR, "simhash_pairs.parquet"), compression="zstd")
+    print(f"wrote simhash_pairs.parquet: {len(rows)} rows")
+
+
+def _dot_seq(a: list[float], b: list[float]) -> float:
+    acc = 0.0
+    for x, y in zip(a, b):
+        acc = acc + x * y
+    return acc
+
+
+def _cos_seq(a: list[float], b: list[float]) -> float:
+    import math
+
+    dot = _dot_seq(a, b)
+    na = math.sqrt(_dot_seq(a, a))
+    nb = math.sqrt(_dot_seq(b, b))
+    return dot / (na * nb) if na > 0 and nb > 0 else 0.0
+
+
+def make_ann_lsh_golden(k: int = 10, n_planes: int = 6) -> None:
+    from structured_data_entity_extraction_spark.ops.similarity import _planes
+
+    emb = pq.read_table(os.path.join(SF001, "embeddings.parquet")).to_pylist()
+    vecs = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in emb}
+    planes = _planes(64, n_planes, seed=42)
+
+    def bucket(v):
+        sig = 0
+        for i, p in enumerate(planes):
+            if _dot_seq(v, p) >= 0:
+                sig += 1 << i
+        return sig
+
+    buckets = {vid: bucket(v) for vid, v in vecs.items()}
+    rows = []
+    for qid in sorted(vecs):
+        if qid >= 3:
+            continue
+        probes = {buckets[qid]} | {buckets[qid] ^ (1 << i) for i in range(n_planes)}
+        cands = [
+            (vid, _cos_seq(vecs[qid], vecs[vid]))
+            for vid in sorted(vecs)
+            if vid != qid and buckets[vid] in probes
+        ]
+        cands.sort(key=lambda t: (-t[1], t[0]))
+        for rank, (vid, cos) in enumerate(cands[:k], start=1):
+            rows.append(
+                {"query_id": qid, "rank": rank, "vec_id": vid,
+                 "cos_r": _round_half_up(cos, 4)}
+            )
+    schema = pa.schema(
+        [("query_id", pa.int64()), ("rank", pa.int32()),
+         ("vec_id", pa.int64()), ("cos_r", pa.float64())]
+    )
+    table = pa.Table.from_pydict(
+        {k_: [r[k_] for r in rows] for k_ in schema.names}, schema=schema
+    )
+    pq.write_table(table, os.path.join(GOLDEN_DIR, "ann_lsh_topk.parquet"), compression="zstd")
+    print(f"wrote ann_lsh_topk.parquet: {len(rows)} rows")
+
+
+def make_multimodal_golden(n: int = 30) -> None:
+    """Expected (asset_id, kind, n_bytes) for q_multimodal_features:
+    regenerates the seeded synthetic assets without Spark and applies
+    the same byte-length rule the mapInPandas kernel applies."""
+    import random
+
+    rng = random.Random(42)
+    kinds = ["image", "audio", "video"]
+    rows = []
+    for i in range(n):
+        kind = kinds[i % 3]
+        data = bytes(rng.randrange(256) for _ in range(rng.randint(64, 512)))
+        rows.append({"asset_id": f"asset{i:04d}", "kind": kind, "n_bytes": len(data)})
+    schema = pa.schema(
+        [("asset_id", pa.string()), ("kind", pa.string()), ("n_bytes", pa.int32())]
+    )
+    table = pa.Table.from_pydict(
+        {k: [r[k] for r in rows] for k in schema.names}, schema=schema
+    )
+    pq.write_table(
+        table, os.path.join(GOLDEN_DIR, "multimodal_features.parquet"), compression="zstd"
+    )
+    print(f"wrote multimodal_features.parquet: {len(rows)} rows")
+
+
 if __name__ == "__main__":
     make_avaluo_golden()
     make_codekg_golden()
+    make_simhash_golden()
+    make_ann_lsh_golden()
+    make_multimodal_golden()
