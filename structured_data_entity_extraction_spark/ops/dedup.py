@@ -13,12 +13,26 @@ SimHash, n-gram Jaccard, embedding-cosine). Designed scale-first:
 from __future__ import annotations
 
 import pandas as pd
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
 from .textstats import shingles_col
+
+
+def _ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Round-robin repartition ONLY when the input has fewer partitions
+    than cores. A small parquet file scans as one partition, which would
+    serialize the CPU-heavy per-row stages (shingling, 16x md5); a
+    real multi-file table at scale already has enough partitions and
+    skips the shuffle entirely."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
 
 # ------------------------------------------------------------- exact
 
@@ -68,7 +82,7 @@ def ngram_jaccard_pairs(
     DuckDB oracle applies the identical cap. The threshold filter uses
     the UNROUNDED ratio (rounding happens only in the projected column)
     so boundary values agree with the oracle."""
-    sh = df.select(
+    sh = _ensure_parallelism(df).select(
         F.col(id_col).alias("doc_id"),
         F.explode(shingles_col(F.col(text_col), k)).alias("shingle"),
     ).distinct()
@@ -80,6 +94,9 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         sh = sh.join(rare, "shingle", "left_semi")
+    # the inverted index feeds three consumers (sizes, both join sides);
+    # without persistence each re-runs the scan+shingle+cap subtree
+    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -140,9 +157,14 @@ def minhash_lsh_pairs(
     handles residual imbalance. One shuffle for the signature agg, one
     for the band join, one narrow rejoin for the gram arrays."""
     n_bands = num_hashes // rows_per_band
-    sh = df.select(
-        F.col(id_col).alias("doc_id"), shingles_col(F.col(text_col), k).alias("grams")
-    ).filter(F.size("grams") > 0)
+    # grams feed the signature branch AND both rerank join sides
+    sh = (
+        _ensure_parallelism(df).select(
+            F.col(id_col).alias("doc_id"), shingles_col(F.col(text_col), k).alias("grams")
+        )
+        .filter(F.size("grams") > 0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     mins = [minhash_col(F.col("grams"), i).alias(f"h{i}") for i in range(num_hashes)]
     sigs = sh.select("doc_id", *mins)
     band_entries = F.array(
@@ -221,7 +243,11 @@ def simhash_pairs(
     a pair within 3 bits of a 64-bit hash agrees exactly on at least one
     of 4 16-bit bands -> join per band, distinct, exact popcount filter.
     """
-    h = df.select(F.col(id_col).alias("doc_id"), simhash_udf(F.col(text_col)).alias("sim"))
+    h = _ensure_parallelism(df).select(
+        F.col(id_col).alias("doc_id"), simhash_udf(F.col(text_col)).alias("sim")
+    )
+    # four band self-joins consume this frame 8x; without persistence
+    # each join side re-runs the simhash pUDF over the whole corpus
     bands = h.select(
         "doc_id",
         "sim",
@@ -229,7 +255,7 @@ def simhash_pairs(
             (F.shiftrightunsigned("sim", 16 * i).bitwiseAND(F.lit(0xFFFF))).alias(f"b{i}")
             for i in range(4)
         ],
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     pair_frames = []
     for i in range(4):
         a = bands.alias("a")
