@@ -257,6 +257,16 @@ def q_events_sessionize(spark, sf_dir):
     )
 
 
+def q_events_windowed(spark, sf_dir):
+    """Event-time tumbling window + watermark (streaming.py operator run
+    in batch mode, where the watermark is a no-op -- same plan serves
+    the stream)."""
+    from structured_data_entity_extraction_spark.streaming import windowed_event_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return windowed_event_counts(ev).orderBy("window_start", "event_type")
+
+
 def q_rollup_orders(spark, sf_dir):
     """ROLLUP aggregation (grouping-sets family)."""
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
@@ -409,6 +419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "salted_agg_counts": q_salted_repo_counts,
         "events_sessionize_lag": q_events_sessionize,
+        "events_windowed_counts": q_events_windowed,
         "rollup_orders": q_rollup_orders,
         "top_orders_by_lines": q_top_orders_by_lines,
         "dedup_exact_kept": q_dedup_exact_kept,
@@ -658,6 +669,13 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events
             FROM flagged GROUP BY user_id ORDER BY user_id
         """,
+        "events_windowed_counts": """
+            SELECT date_trunc('hour', ts) AS window_start,
+                   date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+                   event_type, count(*) AS n_events,
+                   round(sum(value), 2) AS total_value
+            FROM events GROUP BY 1, 2, 3 ORDER BY window_start, event_type
+        """,
         "rollup_orders": """
             SELECT coalesce(o_orderstatus, 'ALL') AS status,
                    coalesce(o_orderpriority, 'ALL') AS priority,
@@ -701,7 +719,9 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": _golden_oracle("simhash_pairs", "id_a, id_b, hamming"),
         "ann_lsh_topk": _golden_oracle("ann_lsh_topk", "query_id, rank, vec_id, cos_r"),
         "multimodal_features": _golden_oracle(
-            "multimodal_features", "asset_id, kind, n_bytes"
+            "multimodal_features",
+            "asset_id, kind, n_bytes, dec_width, dec_height, dec_sample_rate,"
+            " decode_error",
         ),
         # native MinHash-LSH: md5 minhashes + banding are bit-identical
         # in DuckDB, so even the LSH candidate generation has an exact

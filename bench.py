@@ -168,23 +168,33 @@ def main():
 
         # pair: N vs 4N. Default N=2 (→ 2 vs 8): this sandbox VM stops
         # scaling past ~8 threads (shared memory/disk bandwidth, steal) —
-        # see BENCH.md; override with SPARK_GRAFT_SCALE_N.
+        # see BENCH.md; override with SPARK_GRAFT_SCALE_N. The VM is
+        # SHARED (background load-avg of 3-5 from other tenants at any
+        # time), so single runs carry 2-3x noise: interleave
+        # SPARK_GRAFT_SCALE_REPEATS rounds of (N, 4N) and score the
+        # best-of-N throughput per core count — best-of filters tenant
+        # interference, interleaving keeps both levels exposed to the
+        # same background conditions.
         n = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
-        results = {}
-        for cores in (n, 4 * n):
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--kg-job", str(cores)],
-                capture_output=True, text=True, check=True,
-            )
-            results[cores] = json.loads(out.stdout.strip().splitlines()[-1])
-        thr_n = results[n]["triples_per_sec"]
-        thr_4n = results[4 * n]["triples_per_sec"]
+        repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "2"))
+        runs: dict[int, list] = {n: [], 4 * n: []}
+        for _ in range(repeats):
+            for cores in (n, 4 * n):
+                out = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--kg-job", str(cores)],
+                    capture_output=True, text=True, check=True,
+                )
+                runs[cores].append(json.loads(out.stdout.strip().splitlines()[-1]))
+        best = {c: max(rs, key=lambda r: r["triples_per_sec"]) for c, rs in runs.items()}
+        thr_n = best[n]["triples_per_sec"]
+        thr_4n = best[4 * n]["triples_per_sec"]
         speedup = thr_4n / thr_n if thr_n else 0.0
         print(json.dumps({
             "metric": "kg_scaling",
             "unit": "triples/sec",
-            "at_n": results[n],
-            "at_4n": results[4 * n],
+            "at_n": best[n],
+            "at_4n": best[4 * n],
+            "all_runs": {str(c): [r["triples_per_sec"] for r in rs] for c, rs in runs.items()},
             "speedup": round(speedup, 3),
             "efficiency": round(speedup / 4.0, 3),
         }))

@@ -344,15 +344,17 @@ def build_kg(
 def build_triples(candidates: DataFrame, nodes: DataFrame) -> DataFrame:
     """candidates + canonical nodes -> (subj, pred, obj) triples.
 
-    Dedup strategy (the scale-critical part): duplicates arise (a) from
-    repeated surface mentions within a doc -- killed BEFORE the node
-    join by a narrow dropDuplicates on (doc_id, field, value) -- and
-    (b) from distinct surfaces collapsing to one canonical obj -- killed
-    AFTER by a groupBy on (doc_id, pred, obj) that keeps max(conf) and
-    the doc-functional columns via max (all values equal per doc_id, so
-    max is deterministic). Never a full-row distinct over the wide
-    triple table: both shuffles key on narrow columns and get map-side
-    partial aggregation."""
+    Dedup strategy (the scale-critical part): the mention stream is
+    split into a NARROW five-column core (doc_id, field, value,
+    canonical, score) and a per-doc dim (repo/bucket/lang/sha, one row
+    per doc via a map-side-combining groupBy). Mention-level dups die
+    in a narrow dropDuplicates BEFORE the node join; canonical-collapse
+    dups (two surfaces -> one obj) die in a groupBy(doc_id, pred, obj)
+    keeping max(conf); the wide doc-functional columns are re-attached
+    by ONE doc_id join at triple granularity. Net: the two big shuffles
+    move 5 narrow columns instead of the full row (path + 64-char shas
+    were ~3/4 of the old shuffle bytes), and never a full-row
+    distinct."""
     pred = (
         F.when(F.col("field") == "import", F.lit("imports"))
         .when(F.col("field") == "def", F.lit("declares_function"))
@@ -363,57 +365,52 @@ def build_triples(candidates: DataFrame, nodes: DataFrame) -> DataFrame:
         .when(F.col("field") == "__error__", F.lit("extract_error"))
         .otherwise(F.lit("mentions_identifier"))
     )
-    linked = candidates.dropDuplicates(["doc_id", "field", "value"]).join(
-        nodes.select(F.col("surface").alias("value"), "canonical").withColumnRenamed(
-            "canonical", "node_canonical"
-        ),
-        "value",
-        "left",
+    doc_dim = candidates.groupBy("doc_id").agg(
+        F.max("repo").alias("repo"),
+        F.max("repo_bucket").alias("repo_bucket"),
+        F.max("lang").alias("lang"),
+        F.max("content_sha").alias("content_sha"),
     )
-    doc_triples = (
-        linked.select(
-            F.col("doc_id").alias("subj"),
+    core = (
+        candidates.select("doc_id", "field", "value", "canonical", "score")
+        .dropDuplicates(["doc_id", "field", "value"])
+        .join(
+            nodes.select(
+                F.col("surface").alias("value"),
+                F.col("canonical").alias("node_canonical"),
+            ),
+            "value",
+            "left",
+        )
+        .select(
+            "doc_id",
             pred.alias("pred"),
             F.coalesce("node_canonical", "value").alias("obj"),
-            "doc_id",
-            "repo",
-            "repo_bucket",
-            "lang",
-            "content_sha",
             F.coalesce("score", F.lit(1.0)).alias("conf"),
         )
         .groupBy("doc_id", "pred", "obj")
-        .agg(
-            F.max("subj").alias("subj"),
-            F.max("repo").alias("repo"),
-            F.max("repo_bucket").alias("repo_bucket"),
-            F.max("lang").alias("lang"),
-            F.max("content_sha").alias("content_sha"),
-            F.max("conf").alias("conf"),
-        )
-        .select(
-            "subj", "pred", "obj", "doc_id", "repo", "repo_bucket", "lang",
-            "content_sha", "conf",
-        )
+        .agg(F.max("conf").alias("conf"))
     )
-    repo_triples = (
-        candidates.groupBy("doc_id")
-        .agg(
-            F.max("repo").alias("repo"),
-            F.max("repo_bucket").alias("repo_bucket"),
-            F.max("lang").alias("lang"),
-            F.max("content_sha").alias("content_sha"),
-        )
-        .select(
-            F.col("repo").alias("subj"),
-            F.lit("contains_file").alias("pred"),
-            F.col("doc_id").alias("obj"),
-            "doc_id",
-            "repo",
-            "repo_bucket",
-            "lang",
-            "content_sha",
-            F.lit(1.0).alias("conf"),
-        )
+    doc_triples = core.join(doc_dim, "doc_id").select(
+        F.col("doc_id").alias("subj"),
+        "pred",
+        "obj",
+        "doc_id",
+        "repo",
+        "repo_bucket",
+        "lang",
+        "content_sha",
+        "conf",
+    )
+    repo_triples = doc_dim.select(
+        F.col("repo").alias("subj"),
+        F.lit("contains_file").alias("pred"),
+        F.col("doc_id").alias("obj"),
+        "doc_id",
+        "repo",
+        "repo_bucket",
+        "lang",
+        "content_sha",
+        F.lit(1.0).alias("conf"),
     )
     return doc_triples.unionByName(repo_triples)

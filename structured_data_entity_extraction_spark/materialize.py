@@ -100,11 +100,30 @@ def lineage_frame(df: DataFrame, stage: str, run_id: str) -> DataFrame:
 
 
 class StageStore:
-    """Write-once stage checkpoints with manifest-gated resume."""
+    """Write-once stage checkpoints with manifest-gated resume.
 
-    def __init__(self, root: str, run_id: str = "run0"):
+    Default layout is Iceberg-style manifests over plain parquet (the
+    sandbox has no catalog). On a catalog-present cluster, pass
+    ``iceberg_catalog`` to route stage DATA through a real Iceberg
+    ``writeTo`` (atomic snapshot commit, schema evolution, time travel)
+    while the lineage frames and the resume manifest stay on ``root``
+    -- the manifest then records the table identifier instead of a data
+    path. north_rule: "checkpoints to Iceberg"."""
+
+    def __init__(
+        self,
+        root: str,
+        run_id: str = "run0",
+        iceberg_catalog: str | None = None,
+        iceberg_namespace: str = "structured_data_entity_extraction",
+    ):
         self.root = root
         self.run_id = run_id
+        self.iceberg_catalog = iceberg_catalog
+        self.iceberg_namespace = iceberg_namespace
+
+    def iceberg_ident(self, stage: str) -> str:
+        return f"{self.iceberg_catalog}.{self.iceberg_namespace}.{stage}"
 
     def _dir(self, stage: str) -> str:
         return os.path.join(self.root, stage)
@@ -116,6 +135,8 @@ class StageStore:
         return os.path.exists(self.manifest_path(stage))
 
     def read(self, spark: SparkSession, stage: str) -> DataFrame:
+        if self.iceberg_catalog:
+            return spark.read.table(self.iceberg_ident(stage))
         return spark.read.parquet(os.path.join(self._dir(stage), "data"))
 
     def manifest(self, stage: str) -> dict:
@@ -136,13 +157,20 @@ class StageStore:
         if os.path.exists(d) and not self.is_complete(stage):
             shutil.rmtree(d)  # aborted previous attempt
         t0 = time.time()
-        data_path = os.path.join(d, "data")
-        writer = df.write.mode("overwrite")
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
-        writer.parquet(data_path)
-
-        persisted = spark.read.parquet(data_path)
+        if self.iceberg_catalog:
+            ident = self.iceberg_ident(stage)
+            w = df.writeTo(ident).using("iceberg")
+            if partition_by:
+                w = w.partitionedBy(*[F.col(c) for c in partition_by])
+            w.createOrReplace()  # atomic snapshot commit
+            persisted = spark.read.table(ident)
+        else:
+            data_path = os.path.join(d, "data")
+            writer = df.write.mode("overwrite")
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.parquet(data_path)
+            persisted = spark.read.parquet(data_path)
         wall_ms = int((time.time() - t0) * 1000)
         lin = lineage_frame(persisted, stage, self.run_id).withColumn(
             "wall_ms", F.lit(wall_ms)
@@ -161,6 +189,7 @@ class StageStore:
             "partition_by": partition_by or [],
             "wall_ms": wall_ms,
             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            "iceberg_table": self.iceberg_ident(stage) if self.iceberg_catalog else None,
         }
         tmp = self.manifest_path(stage) + ".tmp"
         with open(tmp, "w", encoding="utf-8") as fh:

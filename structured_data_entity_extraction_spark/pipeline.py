@@ -42,10 +42,11 @@ def run_codekg_pipeline(
     bucket_count: int = 64,
     use_lsh: bool = True,
     alias_rows=None,
+    iceberg_catalog: str | None = None,
 ) -> dict:
     """repos_src -> {mentions, candidates, nodes, triples} checkpointed
     under out_root; returns stage row counts + timings."""
-    store = StageStore(out_root, run_id=run_id)
+    store = StageStore(out_root, run_id=run_id, iceberg_catalog=iceberg_catalog)
     metrics: dict = {"run_id": run_id, "stages": {}}
 
     # the per-row invariant baseline: (doc_id, sha256(content)) over the
@@ -109,13 +110,14 @@ def run_avaluo_pipeline(
     out_root: str,
     run_id: str = "run0",
     min_page_chars: int | None = None,
+    iceberg_catalog: str | None = None,
 ) -> dict:
     """docs(doc_id, text) -> 13-field records + triples, checkpointed.
     ``min_page_chars`` wires the reference's S1 page gate (>50 chars,
     extractorAvaluos.py:18-29); None preserves every row. Both stage
     checkpoints carry content_sha and are verified against the (gated)
     input's per-document sha set."""
-    store = StageStore(out_root, run_id=run_id)
+    store = StageStore(out_root, run_id=run_id, iceberg_catalog=iceberg_catalog)
     dims = dim_frames(spark)
     if min_page_chars is not None:
         docs = length_gate(docs, min_page_chars)
@@ -150,24 +152,47 @@ def main(argv=None) -> None:
     from .session import get_spark
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--input", required=True, help="repos_src parquet path")
+    ap.add_argument("--input", required=True, help="input parquet path")
     ap.add_argument("--output", required=True, help="warehouse root")
     ap.add_argument("--run-id", default="run0")
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--no-lsh", action="store_true")
+    ap.add_argument(
+        "--pipeline", choices=["codekg", "avaluo"], default="codekg",
+        help="codekg: repos_src(repo,path,commit,lang,content); "
+        "avaluo: docs(doc_id,text) reference-fidelity extraction",
+    )
+    ap.add_argument(
+        "--min-page-chars", type=int, default=None,
+        help="avaluo: wire the S1 page gate (reference uses 50)",
+    )
+    ap.add_argument(
+        "--iceberg-catalog", default=None,
+        help="route stage data through Iceberg writeTo on this catalog "
+        "(catalog-present clusters only)",
+    )
     args = ap.parse_args(argv)
 
-    spark = get_spark("structured-data-entity-extraction-kg")
-    repos_src = spark.read.parquet(args.input)
+    spark = get_spark(f"structured-data-entity-extraction-{args.pipeline}")
     t0 = time.time()
-    metrics = run_codekg_pipeline(
-        spark,
-        repos_src,
-        args.output,
-        run_id=args.run_id,
-        bucket_count=args.buckets,
-        use_lsh=not args.no_lsh,
-    )
+    if args.pipeline == "avaluo":
+        docs = spark.read.parquet(args.input)
+        metrics = run_avaluo_pipeline(
+            spark, docs, args.output, run_id=args.run_id,
+            min_page_chars=args.min_page_chars,
+            iceberg_catalog=args.iceberg_catalog,
+        )
+    else:
+        repos_src = spark.read.parquet(args.input)
+        metrics = run_codekg_pipeline(
+            spark,
+            repos_src,
+            args.output,
+            run_id=args.run_id,
+            bucket_count=args.buckets,
+            use_lsh=not args.no_lsh,
+            iceberg_catalog=args.iceberg_catalog,
+        )
     metrics["total_wall_s"] = round(time.time() - t0, 3)
     metrics["triples_per_sec"] = (
         round(metrics["triples"] / metrics["total_wall_s"], 1)

@@ -17,7 +17,10 @@ the batch pipeline ((repo_bucket, lang)).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .codekg import extract_code_mentions
 from .schemas import REPOS_SRC
@@ -53,3 +56,83 @@ def stream_repos_src(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ----------------------------------------- watermarked windowed agg
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Event-time tumbling-window aggregation with a late-data
+    watermark: counts + value sum per (window, event_type). Works on a
+    streaming df (watermark bounds state, late rows beyond it dropped)
+    AND on a batch df (watermark is a no-op), so the same plan is
+    oracle-checkable in batch and deployable as a stream."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# ------------------------------------ custom stateful operator (§2.9)
+
+SESSION_OUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("n_sessions", T.LongType(), False),
+        T.StructField("n_events", T.LongType(), False),
+    ]
+)
+SESSION_STATE = T.StructType(
+    [
+        T.StructField("last_epoch", T.DoubleType(), True),
+        T.StructField("n_sessions", T.LongType(), False),
+        T.StructField("n_events", T.LongType(), False),
+    ]
+)
+
+
+def sessionize_stateful(events: DataFrame, gap_s: int = 1800) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-user session counting with >gap_s breaks. State
+    (last_epoch, n_sessions, n_events) carries ACROSS micro-batches --
+    an event in batch k+1 within gap_s of batch k's last event does not
+    open a new session. The batch twin is the lag-window sessionizer
+    (__spark_entry__.q_events_sessionize); the restart test asserts the
+    cross-batch continuity that twin can't express."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdfs, state: GroupState):
+        last, sessions, n_ev = state.get if state.exists else (None, 0, 0)
+        ts = []
+        for pdf in pdfs:
+            ts.extend(pdf["ts"].tolist())
+        for t in sorted(ts):
+            e = t.timestamp()
+            if last is None or e - last > gap_s:
+                sessions += 1
+            last = e
+            n_ev += 1
+        state.update((last, sessions, n_ev))
+        yield pd.DataFrame(
+            [{"user_id": key[0], "n_sessions": sessions, "n_events": n_ev}]
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fn, SESSION_OUT, SESSION_STATE, "update", GroupStateTimeout.NoTimeout
+    )

@@ -202,3 +202,22 @@ def test_avaluo_pipeline_gate_and_invariant(spark, tmp_path):
     assert m["triples"] == 13
     for stage in ("records", "triples"):
         assert m["stages"][stage]["sha_invariant_ok"] is True
+
+
+def test_stagestore_iceberg_routing(spark, tmp_path):
+    """Flag off (default): parquet path, iceberg_table null in manifest.
+    Flag on: the write routes through DataFrameWriterV2.writeTo against
+    the named catalog -- in this catalog-less sandbox that must surface
+    as a catalog-resolution error naming OUR catalog, proving the
+    Iceberg code path is actually taken."""
+    rows = [("o/r", "a.py", "c" * 40, "python", "import numpy")]
+    df = spark.createDataFrame(rows, REPOS_SRC)
+
+    store = StageStore(str(tmp_path / "w"), run_id="r1")
+    store.write(df, "mentions")
+    assert store.manifest("mentions")["iceberg_table"] is None
+
+    ice = StageStore(str(tmp_path / "w2"), run_id="r1", iceberg_catalog="prodcat")
+    assert ice.iceberg_ident("mentions") == "prodcat.structured_data_entity_extraction.mentions"
+    with pytest.raises(Exception, match="prodcat"):
+        ice.write(df, "mentions")

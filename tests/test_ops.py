@@ -186,10 +186,86 @@ def test_multimodal_features_and_frames(spark):
     for r in feats:
         assert len(r["feature"]) == multimodal.FEATURE_DIM
         assert r["n_bytes"] > 0
+        assert r["decode_error"] is None
+        if r["kind"] == "image":  # REAL decode: metadata from the pixels
+            assert (r["dec_width"], r["dec_height"]) == (8, 8)
+        elif r["kind"] == "audio":
+            assert r["dec_sample_rate"] == 16000
     frames = multimodal.sample_frames(assets, every_n=2, frame_size=64).collect()
     assert frames and all(r["frame_idx"] % 2 == 0 for r in frames)
-    with pytest.raises(Exception, match="NotImplemented|image decode"):
-        multimodal.extract_features(assets, real_decode=True).collect()
+    with pytest.raises(NotImplementedError, match="video decode"):
+        multimodal.decode_video(b"\x00")
+
+
+def test_multimodal_decode_error_is_row_data(spark):
+    """A corrupt payload becomes a decode_error row, never a job abort
+    (same fault contract as the text pipeline)."""
+    rows = [("bad0", "image", b"not a png", None, None, None, None)]
+    df = spark.createDataFrame(rows, multimodal.ASSET_SCHEMA)
+    got = multimodal.extract_features(df).collect()
+    assert len(got) == 1
+    assert "CodecError" in got[0]["decode_error"]
+    assert got[0]["feature"] is None
+
+
+def test_png_codec_roundtrip_and_filters():
+    """Pure-stdlib PNG codec: encode->decode roundtrip, plus manual
+    Sub/Up/Paeth-filtered scanlines recovered to known pixels."""
+    import struct
+    import zlib
+
+    from structured_data_entity_extraction_spark.ops import modal_codecs as mc
+
+    w, h = 5, 4
+    pixels = bytes((x * 40 + y * 10 + c) % 256 for y in range(h) for x in range(w) for c in range(3))
+    data = mc.encode_png(w, h, pixels, channels=3)
+    img = mc.decode_png(data)
+    assert (img["width"], img["height"], img["channels"]) == (w, h, 3)
+    assert bytes(img["pixels"]) == pixels
+
+    # hand-filter the same raw scanlines with Sub(1)/Up(2)/Paeth(4)/None
+    stride = w * 3
+    rows = [bytearray(pixels[y * stride : (y + 1) * stride]) for y in range(h)]
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    filtered = bytearray()
+    prev = bytearray(stride)
+    for y, row in enumerate(rows):
+        f = [0, 1, 2, 4][y % 4]
+        filtered.append(f)
+        for i in range(stride):
+            a = row[i - 3] if i >= 3 else 0
+            c = prev[i - 3] if i >= 3 else 0
+            pred = {0: 0, 1: a, 2: prev[i], 4: paeth(a, prev[i], c)}[f]
+            filtered.append((row[i] - pred) & 0xFF)
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + mc._png_chunk(b"IHDR", ihdr)
+        + mc._png_chunk(b"IDAT", zlib.compress(bytes(filtered)))
+        + mc._png_chunk(b"IEND", b"")
+    )
+    assert bytes(mc.decode_png(png)["pixels"]) == pixels
+
+
+def test_wav_codec_roundtrip():
+    from structured_data_entity_extraction_spark.ops import modal_codecs as mc
+
+    samples = [0, 1000, -1000, 32000, -32000, 7]
+    data = mc.encode_wav(samples, sample_rate=8000)
+    wav = mc.decode_wav(data)
+    assert wav["sample_rate"] == 8000
+    assert wav["n_frames"] == len(samples)
+    import struct
+
+    assert list(struct.unpack(f"<{len(samples)}h", wav["pcm"])) == samples
+    feat = mc.audio_feature(data)
+    assert len(feat) == mc.FEATURE_DIM and all(0.0 <= f <= 1.0 for f in feat)
 
 
 def test_lang_id_tiebreak_ascending(spark):

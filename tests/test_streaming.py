@@ -49,3 +49,118 @@ def test_stream_matches_batch(spark, tmp_path):
     )
     want2 = codekg.extract_code_mentions(full_batch)
     assert got2.count() == want2.count()  # no duplicates from reprocessing
+
+
+def test_windowed_event_counts_stream_vs_batch(spark, tmp_path):
+    """Watermarked tumbling-window agg: streaming (update mode, memory
+    sink) converges to the same final windows as the batch run of the
+    identical plan."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from structured_data_entity_extraction_spark.streaming import windowed_event_counts
+
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType(), False),
+            T.StructField("event_type", T.StringType(), False),
+            T.StructField("value", T.DoubleType(), False),
+        ]
+    )
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (base + dt.timedelta(minutes=7 * i), "click" if i % 2 else "view", float(i))
+        for i in range(40)
+    ]
+    inp = str(tmp_path / "ev_in")
+    spark.createDataFrame(rows, schema).coalesce(2).write.parquet(inp)
+
+    stream = spark.readStream.schema(schema).parquet(inp)
+    q = (
+        windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+        .writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ev_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.sql("select * from win_counts").collect()
+    }
+    want = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in windowed_event_counts(spark.read.parquet(inp)).collect()
+    }
+    assert got == want and len(want) > 3
+
+
+def test_sessionize_stateful_carries_state_across_batches(spark, tmp_path):
+    """applyInPandasWithState: an event arriving in a LATER micro-batch
+    within the gap of the previous batch's last event must NOT open a
+    new session (state restore from checkpoint); a beyond-gap event
+    must."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from structured_data_entity_extraction_spark.streaming import sessionize_stateful
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("ts", T.TimestampType(), False),
+        ]
+    )
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    inp = str(tmp_path / "sess_in")
+    ckpt = str(tmp_path / "sess_ckpt")
+    run_no = [0]
+
+    def run_batch(rows):
+        # memory sink can't recover a checkpoint across restarts; a
+        # foreachBatch parquet sink can (the production shape anyway)
+        run_no[0] += 1
+        out = str(tmp_path / f"sess_out{run_no[0]}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(inp)
+        stream = spark.readStream.schema(schema).parquet(inp)
+
+        def sink(df, batch_id):
+            df.write.mode("append").parquet(out)
+
+        q = (
+            sessionize_stateful(stream, gap_s=1800)
+            .writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            r["user_id"]: (r["n_sessions"], r["n_events"])
+            for r in spark.read.parquet(out).collect()
+        }
+
+    # batch 1: u1 two events 10 min apart (1 session); u2 one event
+    got1 = run_batch(
+        [
+            (1, base),
+            (1, base + dt.timedelta(minutes=10)),
+            (2, base),
+        ]
+    )
+    assert got1[1] == (1, 2) and got1[2] == (1, 1)
+    # batch 2: u1 +20 min (same session, 10-min-old state), u2 +2 h (new)
+    got2 = run_batch(
+        [
+            (1, base + dt.timedelta(minutes=30)),
+            (2, base + dt.timedelta(hours=2)),
+        ]
+    )
+    assert got2[1] == (1, 3)  # still ONE session -- state carried over
+    assert got2[2] == (2, 2)  # gap exceeded -> second session

@@ -302,20 +302,37 @@ def make_ann_lsh_golden(k: int = 10, n_planes: int = 6) -> None:
 
 
 def make_multimodal_golden(n: int = 30) -> None:
-    """Expected (asset_id, kind, n_bytes) for q_multimodal_features:
-    regenerates the seeded synthetic assets without Spark and applies
-    the same byte-length rule the mapInPandas kernel applies."""
-    import random
+    """Expected decoded-metadata frame for q_multimodal_features:
+    regenerates the seeded assets without Spark and decodes them with
+    the pure-stdlib codecs (real PNG/WAV parse) -- pins the mapInPandas
+    plumbing AND the decode results."""
+    from structured_data_entity_extraction_spark.ops.modal_codecs import (
+        decode_png,
+        decode_wav,
+    )
+    from structured_data_entity_extraction_spark.ops.multimodal import (
+        synthetic_asset_rows,
+    )
 
-    rng = random.Random(42)
-    kinds = ["image", "audio", "video"]
     rows = []
-    for i in range(n):
-        kind = kinds[i % 3]
-        data = bytes(rng.randrange(256) for _ in range(rng.randint(64, 512)))
-        rows.append({"asset_id": f"asset{i:04d}", "kind": kind, "n_bytes": len(data)})
+    for asset_id, kind, data, *_ in synthetic_asset_rows(n, seed=42):
+        r = {
+            "asset_id": asset_id, "kind": kind, "n_bytes": len(data),
+            "dec_width": None, "dec_height": None, "dec_sample_rate": None,
+            "decode_error": None,
+        }
+        if kind == "image":
+            img = decode_png(data)
+            r["dec_width"], r["dec_height"] = img["width"], img["height"]
+        elif kind == "audio":
+            r["dec_sample_rate"] = decode_wav(data)["sample_rate"]
+        rows.append(r)
     schema = pa.schema(
-        [("asset_id", pa.string()), ("kind", pa.string()), ("n_bytes", pa.int32())]
+        [
+            ("asset_id", pa.string()), ("kind", pa.string()), ("n_bytes", pa.int32()),
+            ("dec_width", pa.int32()), ("dec_height", pa.int32()),
+            ("dec_sample_rate", pa.int32()), ("decode_error", pa.string()),
+        ]
     )
     table = pa.Table.from_pydict(
         {k: [r[k] for r in rows] for k in schema.names}, schema=schema
