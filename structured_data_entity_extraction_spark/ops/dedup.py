@@ -283,6 +283,44 @@ def simhash_pairs(
     )
 
 
+# ----------------------------------------- near-dup group resolution
+
+
+def near_dup_groups(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
+    """Pair list (from minhash/simhash/ngram/cosine) -> transitive dup
+    groups via connected components: (doc_id, group_id) with group_id =
+    min doc id in the component. The keep-decision is then
+    ``doc_id == group_id`` (keep the canonical representative, drop the
+    rest) -- the piece that turns similarity pairs into an actual
+    dedup verdict. Scales like cc.connected_components (min-label
+    propagation; near-dup graphs are shallow)."""
+    from ..cc import connected_components
+
+    edges = pairs.select(
+        F.col(id_a).cast("string").alias("src"), F.col(id_b).cast("string").alias("dst")
+    )
+    comp = connected_components(edges)
+    return comp.select(
+        F.col("node").alias("doc_id"), F.col("component").alias("group_id")
+    )
+
+
+def dedup_near(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Drop every non-representative member of each near-dup group
+    (keep = min id per component; docs in no pair survive untouched)."""
+    groups = near_dup_groups(pairs)
+    drop = groups.filter(F.col("doc_id") != F.col("group_id")).select(
+        F.col("doc_id").alias("_drop_id")
+    )
+    return df.join(
+        drop, df[id_col].cast("string") == drop["_drop_id"], "left_anti"
+    )
+
+
 # ------------------------------------------------- embedding near-dup
 
 

@@ -295,3 +295,32 @@ def test_ngram_jaccard_df_cap_bounds_hot_shingle(spark):
     assert all(a >= 100 for a, _ in got)
     uncapped = dedup.ngram_jaccard_pairs(df, threshold=0.01, df_cap=0)
     assert uncapped.count() > 1000  # proves the blowup the cap prevents
+
+
+def test_near_dup_groups_and_dedup_near(spark, docs_df):
+    """Pairs -> transitive groups -> keep-one verdict, vs a union-find
+    twin over the same pairs."""
+    pairs = dedup.ngram_jaccard_pairs(docs_df, threshold=0.3)
+    got = {
+        r["doc_id"]: r["group_id"]
+        for r in dedup.near_dup_groups(pairs).collect()
+    }
+    ppairs = [(str(r["id_a"]), str(r["id_b"])) for r in pairs.collect()]
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in ppairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+    assert got == want
+    kept = {r["doc_id"] for r in dedup.dedup_near(docs_df, pairs).collect()}
+    dropped = {int(n) for n, g in want.items() if n != g}
+    assert kept == {d for d, _ in DOCS} - dropped
