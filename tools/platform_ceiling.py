@@ -43,6 +43,43 @@ def run(procs: int, docs: list[str]) -> float:
     return time.time() - t0
 
 
+def run_shuffle(cores: int, n_rows: int) -> float:
+    """Pure-Spark shuffle ceiling: groupBy over mostly-unique synthetic
+    string keys (the shape of triple dedup) with ZERO engine code. Runs
+    in a fresh subprocess via --shuffle-one."""
+    out = __import__("subprocess").run(
+        [sys.executable, os.path.abspath(__file__), "--shuffle-one", str(cores),
+         "--rows", str(n_rows)],
+        capture_output=True, text=True, check=True,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])["secs"]
+
+
+def shuffle_one(cores: int, n_rows: int) -> None:
+    from pyspark.sql import functions as F
+
+    from structured_data_entity_extraction_spark.session import get_spark
+
+    spark = get_spark("shuffle-ceiling", master=f"local[{cores}]",
+                      shuffle_partitions=max(cores, 8))
+    spark.sparkContext.setLogLevel("ERROR")
+    df = (
+        spark.range(n_rows, numPartitions=cores * 2)
+        .select(
+            F.sha2(F.col("id").cast("string"), 256).alias("k1"),
+            (F.col("id") % 1000).cast("string").alias("k2"),
+            F.col("id").cast("double").alias("v"),
+        )
+        .persist()
+    )
+    df.count()
+    t0 = time.time()
+    df.groupBy("k1", "k2").agg(F.max("v")).count()
+    secs = round(time.time() - t0, 3)
+    spark.stop()
+    print(json.dumps({"cores": cores, "secs": secs}))
+
+
 def main():
     from structured_data_entity_extraction_spark.fixtures import avaluo_docs
 
@@ -51,17 +88,28 @@ def main():
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--docs", type=int, default=8000)
     ap.add_argument("--content-scale", type=int, default=10)
+    ap.add_argument("--kind", choices=["cpu", "shuffle"], default="cpu")
+    ap.add_argument("--rows", type=int, default=17_000_000)
+    ap.add_argument("--shuffle-one", type=int, default=0)
     args = ap.parse_args()
-    docs = [d["text"] for d in avaluo_docs(args.docs, seed=42, content_scale=args.content_scale)]
+    if args.shuffle_one:
+        shuffle_one(args.shuffle_one, args.rows)
+        return
     levels = (args.n, 4 * args.n)
     times: dict[int, list[float]] = {c: [] for c in levels}
+    docs = None
+    if args.kind == "cpu":
+        docs = [d["text"] for d in avaluo_docs(args.docs, seed=42, content_scale=args.content_scale)]
     for _ in range(args.repeats):
         for c in levels:
-            times[c].append(round(run(c, docs), 3))
+            if args.kind == "cpu":
+                times[c].append(round(run(c, docs), 3))
+            else:
+                times[c].append(run_shuffle(c, args.rows))
     best = {c: min(ts) for c, ts in times.items()}
     speedup = best[levels[0]] / best[levels[1]]
     print(json.dumps({
-        "metric": "platform_ceiling",
+        "metric": f"platform_ceiling_{args.kind}",
         "levels": levels,
         "best_secs": {str(c): best[c] for c in levels},
         "all_secs": {str(c): times[c] for c in levels},
