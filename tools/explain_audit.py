@@ -31,7 +31,8 @@ def audit(name: str, df) -> None:
         "BroadcastHashJoin": p.count("BroadcastHashJoin"),
         "SortMergeJoin": p.count("SortMergeJoin"),
         "ArrowEvalPython": p.count("ArrowEvalPython"),
-        "WholeStageCodegen_spans": len(set(re.findall(r"WholeStageCodegen \((\d+)\)", p))),
+        "WholeStageCodegen_spans": len(set(re.findall(r"\[codegen id : (\d+)\]", p))),
+        "InMemoryTableScan": p.count("InMemoryTableScan"),
         "Exchange": p.count("Exchange"),
         "partial_HashAggregate": p.count("HashAggregate"),
     }
