@@ -364,6 +364,15 @@ def q_simhash_pairs(spark, sf_dir):
     )
 
 
+def q_ivf_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    return (
+        similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 3), k=10)
+        .select("query_id", "rank", "vec_id", F.round("cos", 4).alias("cos_r"))
+        .orderBy("query_id", "rank")
+    )
+
+
 def q_lsh_topk(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     return (
@@ -439,6 +448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dup_groups": q_near_dup_groups,
         "simhash_pairs": q_simhash_pairs,
         "ann_lsh_topk": q_lsh_topk,
+        "ann_ivf_topk": q_ivf_topk,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -765,6 +775,7 @@ def oracle_sql() -> dict[str, str]:
         "codekg_triples": _golden_oracle("codekg_triples"),
         "simhash_pairs": _golden_oracle("simhash_pairs", "id_a, id_b, hamming"),
         "ann_lsh_topk": _golden_oracle("ann_lsh_topk", "query_id, rank, vec_id, cos_r"),
+        "ann_ivf_topk": _golden_oracle("ann_ivf_topk", "query_id, rank, vec_id, cos_r"),
         "multimodal_features": _golden_oracle(
             "multimodal_features",
             "asset_id, kind, n_bytes, dec_width, dec_height, dec_sample_rate,"

@@ -75,6 +75,68 @@ def brute_force_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: a coarse quantizer
+    assigns every corpus vector to its nearest centroid (the inverted
+    list), each query probes only its ``n_probe`` closest centroids'
+    lists, and candidates are reranked by exact cosine.
+
+    The coarse centroids are the vectors of the ``n_centroids``
+    lowest-id corpus rows -- a deterministic seeded codebook (k-means
+    would give better lists but its float mean is partition-order
+    dependent, i.e. nondeterministic; at 100 TB you'd train the
+    codebook offline and broadcast it, exactly as this broadcasts the
+    literal centroid arrays). Assignment is a JVM-side argmax over
+    ``n_centroids`` cosine expressions -- a narrow map over the corpus,
+    no shuffle; the probe join keys on centroid id, so per-query work
+    is |corpus| * n_probe / n_centroids."""
+    rows = (
+        corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v"))
+        .orderBy("vid")
+        .limit(n_centroids)
+        .collect()
+    )
+    cents = [(i, list(r["v"])) for i, r in enumerate(rows)]
+
+    def best_cells(vec: Column, n: int) -> Column:
+        """Array of the n centroid ids with highest cosine (desc, id asc)."""
+        scored = F.array(
+            *[
+                F.struct(
+                    (-cosine_expr(vec, F.array(*[F.lit(float(x)) for x in cv]))).alias("neg"),
+                    F.lit(ci).alias("cell"),
+                )
+                for ci, cv in cents
+            ]
+        )
+        return F.slice(F.array_sort(scored), 1, n).getField("cell")
+
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("cvec")
+    ).withColumn("cell", best_cells(F.col("cvec"), 1)[0])
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qvec")
+    ).withColumn("cell", F.explode(best_cells(F.col("qvec"), n_probe)))
+    cand = c.join(F.broadcast(q), "cell").filter(F.col("vec_id") != F.col("query_id"))
+    scored = cand.select(
+        "query_id", "vec_id", cosine_expr(F.col("qvec"), F.col("cvec")).alias("cos")
+    ).distinct()
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos", "rank")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -324,3 +324,24 @@ def test_near_dup_groups_and_dedup_near(spark, docs_df):
     kept = {r["doc_id"] for r in dedup.dedup_near(docs_df, pairs).collect()}
     dropped = {int(n) for n, g in want.items() if n != g}
     assert kept == {d for d, _ in DOCS} - dropped
+
+
+def test_ivf_topk_recall_and_planted(spark, vecs_df):
+    """IVF coarse-quantizer ANN: decent recall vs brute force and the
+    planted near-dup is its query's top hit (same contract as lsh_topk)."""
+    df, _ = vecs_df
+    queries = df.filter(F.col("vec_id") < 3)
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.brute_force_topk(df, queries, k=3).collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.ivf_topk(df, queries, k=3, n_centroids=8, n_probe=3).collect()
+    }
+    assert len(exact & approx) / len(exact) >= 0.5
+    top = {
+        r["query_id"]: r["vec_id"]
+        for r in similarity.ivf_topk(df, queries, k=1, n_centroids=8, n_probe=3).collect()
+    }
+    assert top.get(0) == 5  # planted near-dup of query 0

@@ -301,6 +301,49 @@ def make_ann_lsh_golden(k: int = 10, n_planes: int = 6) -> None:
     print(f"wrote ann_lsh_topk.parquet: {len(rows)} rows")
 
 
+def make_ivf_golden(k: int = 10, n_centroids: int = 16, n_probe: int = 4) -> None:
+    """Sequential-arithmetic twin of similarity.ivf_topk over the sf0.01
+    embeddings (queries = vec_id < 3). Mirrors Spark's array_sort on
+    (neg_cos, cell) structs: ascending tuple order."""
+    emb = sorted(
+        pq.read_table(os.path.join(SF001, "embeddings.parquet")).to_pylist(),
+        key=lambda r: r["vec_id"],
+    )
+    vecs = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in emb}
+    cents = [(i, vecs[r["vec_id"]]) for i, r in enumerate(emb[:n_centroids])]
+
+    def cells(v, n):
+        scored = sorted(((-_cos_seq(v, cv), ci) for ci, cv in cents))
+        return [ci for _, ci in scored[:n]]
+
+    cell_of = {vid: cells(v, 1)[0] for vid, v in vecs.items()}
+    rows = []
+    for qid in sorted(vecs):
+        if qid >= 3:
+            continue
+        probes = set(cells(vecs[qid], n_probe))
+        cands = [
+            (vid, _cos_seq(vecs[qid], vecs[vid]))
+            for vid in sorted(vecs)
+            if vid != qid and cell_of[vid] in probes
+        ]
+        cands.sort(key=lambda t: (-t[1], t[0]))
+        for rank, (vid, cos) in enumerate(cands[:k], start=1):
+            rows.append(
+                {"query_id": qid, "rank": rank, "vec_id": vid,
+                 "cos_r": _round_half_up(cos, 4)}
+            )
+    schema = pa.schema(
+        [("query_id", pa.int64()), ("rank", pa.int32()),
+         ("vec_id", pa.int64()), ("cos_r", pa.float64())]
+    )
+    table = pa.Table.from_pydict(
+        {k_: [r[k_] for r in rows] for k_ in schema.names}, schema=schema
+    )
+    pq.write_table(table, os.path.join(GOLDEN_DIR, "ann_ivf_topk.parquet"), compression="zstd")
+    print(f"wrote ann_ivf_topk.parquet: {len(rows)} rows")
+
+
 def make_multimodal_golden(n: int = 30) -> None:
     """Expected decoded-metadata frame for q_multimodal_features:
     regenerates the seeded assets without Spark and decodes them with
@@ -348,4 +391,5 @@ if __name__ == "__main__":
     make_codekg_golden()
     make_simhash_golden()
     make_ann_lsh_golden()
+    make_ivf_golden()
     make_multimodal_golden()
