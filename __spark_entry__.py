@@ -542,7 +542,8 @@ def oracle_sql() -> dict[str, str]:
     lang_scores = ", ".join(
         "("
         + " + ".join(
-            f"len(regexp_extract_all(lower(text), '\\b{w}\\b'))" for w in ws
+            f"len(regexp_extract_all(lower(coalesce(text, '')), '\\b{w}\\b'))"
+            for w in ws
         )
         + f") AS score_{lang}"
         for lang, ws in textstats.LANG_MARKERS.items()
@@ -555,7 +556,7 @@ def oracle_sql() -> dict[str, str]:
         + " END"
     )
     stop_hits = " + ".join(
-        f"len(regexp_extract_all(lower(text), '\\b{w}\\b'))"
+        f"len(regexp_extract_all(lower(coalesce(text, '')), '\\b{w}\\b'))"
         for w in sorted({w for ws in textstats.LANG_MARKERS.values() for w in ws})
     )
     return {
@@ -790,15 +791,15 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs ORDER BY id_a, id_b
         """,
         # connected components over the same pairs: recursive transitive
-        # closure; group_id = lexicographic min of the string node ids,
-        # matching cc.connected_components' min-label semantics
+        # closure; group_id = numeric min node id, matching
+        # cc.connected_components' min-label over the native id type
         "near_dup_groups": "WITH RECURSIVE "
         + _MINHASH_PAIRS_SQL.lstrip().removeprefix("WITH")
         + """
             , edges AS (
-              SELECT id_a::VARCHAR AS a, id_b::VARCHAR AS b FROM pairs
+              SELECT id_a AS a, id_b AS b FROM pairs
               UNION
-              SELECT id_b::VARCHAR, id_a::VARCHAR FROM pairs
+              SELECT id_b, id_a FROM pairs
             ),
             reach(node, other) AS (
               SELECT a, b FROM edges

@@ -4,10 +4,17 @@ SimHash, n-gram Jaccard, embedding-cosine). Designed scale-first:
 - exact dedup is a single hash aggregation (map-side partial);
 - n-gram Jaccard prunes via a shingle inverted index (explode + self
   join on shingle, then pair aggregation) -- never an O(n^2) cross join;
-- MinHash-LSH uses pyspark.ml (band/bucket approx join);
+- MinHash-LSH is a native md5 banding implementation (exact SQL twin);
 - SimHash pairs compare only within 16-bit band buckets;
 - embedding near-dup blocks via sign-LSH buckets, brute-force rerank
   inside buckets.
+
+Caching policy: the multi-consumer intermediates (inverted index, gram
+arrays, simhash bands) are persisted MEMORY_AND_DISK and intentionally
+NOT unpersisted -- the returned DataFrames are lazy and still reference
+them. Spark evicts LRU under memory pressure, so this degrades
+gracefully; long-lived sessions sweeping many corpora should call
+``spark.catalog.clearCache()`` between corpora.
 """
 
 from __future__ import annotations
@@ -289,16 +296,16 @@ def simhash_pairs(
 def near_dup_groups(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b") -> DataFrame:
     """Pair list (from minhash/simhash/ngram/cosine) -> transitive dup
     groups via connected components: (doc_id, group_id) with group_id =
-    min doc id in the component. The keep-decision is then
-    ``doc_id == group_id`` (keep the canonical representative, drop the
-    rest) -- the piece that turns similarity pairs into an actual
-    dedup verdict. Scales like cc.connected_components (min-label
-    propagation; near-dup graphs are shallow)."""
+    the MIN doc id in the component under the id column's native
+    ordering (numeric min for numeric ids -- no string cast, so doc 9
+    beats doc 10). The keep-decision is then ``doc_id == group_id``
+    (keep the canonical representative, drop the rest) -- the piece
+    that turns similarity pairs into an actual dedup verdict. Scales
+    like cc.connected_components (min-label propagation; near-dup
+    graphs are shallow)."""
     from ..cc import connected_components
 
-    edges = pairs.select(
-        F.col(id_a).cast("string").alias("src"), F.col(id_b).cast("string").alias("dst")
-    )
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     comp = connected_components(edges)
     return comp.select(
         F.col("node").alias("doc_id"), F.col("component").alias("group_id")
@@ -316,9 +323,7 @@ def dedup_near(
     drop = groups.filter(F.col("doc_id") != F.col("group_id")).select(
         F.col("doc_id").alias("_drop_id")
     )
-    return df.join(
-        drop, df[id_col].cast("string") == drop["_drop_id"], "left_anti"
-    )
+    return df.join(drop, df[id_col] == drop["_drop_id"], "left_anti")
 
 
 # ------------------------------------------------- embedding near-dup

@@ -131,7 +131,7 @@ def decode_wav(data: bytes) -> dict:
                 "sample_width": w.getsampwidth(),
                 "pcm": w.readframes(w.getnframes()),
             }
-    except wave.Error as e:
+    except (wave.Error, EOFError) as e:  # EOFError: truncated mid-header
         raise CodecError(f"not a WAV: {e}") from e
 
 

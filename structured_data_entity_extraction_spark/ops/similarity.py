@@ -125,10 +125,14 @@ def ivf_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).cast("array<double>").alias("qvec")
     ).withColumn("cell", F.explode(best_cells(F.col("qvec"), n_probe)))
+    # no distinct needed: each corpus vector sits in exactly one cell
+    # and a query's probe cells are distinct, so (query_id, vec_id)
+    # pairs are already unique -- a distinct here would be a pure
+    # wasted shuffle of the whole candidate set
     cand = c.join(F.broadcast(q), "cell").filter(F.col("vec_id") != F.col("query_id"))
     scored = cand.select(
         "query_id", "vec_id", cosine_expr(F.col("qvec"), F.col("cvec")).alias("cos")
-    ).distinct()
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

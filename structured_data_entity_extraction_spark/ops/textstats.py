@@ -36,8 +36,10 @@ def bpe_ish_token_count_col(text: Column) -> Column:
 
 
 def _marker_hits(text: Column, words: list[str]) -> Column:
-    """Count of marker-word occurrences, word-bounded, case-insensitive."""
-    padded = F.lower(text)
+    """Count of marker-word occurrences, word-bounded, case-insensitive.
+    NULL text counts as '' (size(regexp_extract_all(NULL)) is -1 under
+    legacy sizeOfNull, which would poison every score to -len(words))."""
+    padded = F.lower(F.coalesce(text, F.lit("")))
     total = F.lit(0)
     for w in words:
         total = total + F.size(

@@ -271,10 +271,13 @@ def test_wav_codec_roundtrip():
 def test_lang_id_tiebreak_ascending(spark):
     """Tied marker scores pick the lexicographically SMALLEST language,
     mirroring the DuckDB oracle's CASE order (ADVICE r1 medium)."""
-    df = spark.createDataFrame([(0, "the el"), (1, "")], ["doc_id", "text"])
+    df = spark.createDataFrame(
+        [(0, "the el"), (1, ""), (2, None)], "doc_id long, text string"
+    )
     got = {r["doc_id"]: r["lang_pred"] for r in textstats.lang_id(df).collect()}
     assert got[0] == "en"  # en/es tie at 1 -> 'en' (asc), not 'es'
     assert got[1] == "und"
+    assert got[2] == "und"  # NULL text must not win a tie at score -5
 
 
 def test_ngram_jaccard_df_cap_bounds_hot_shingle(spark):
@@ -305,7 +308,7 @@ def test_near_dup_groups_and_dedup_near(spark, docs_df):
         r["doc_id"]: r["group_id"]
         for r in dedup.near_dup_groups(pairs).collect()
     }
-    ppairs = [(str(r["id_a"]), str(r["id_b"])) for r in pairs.collect()]
+    ppairs = [(r["id_a"], r["id_b"]) for r in pairs.collect()]
     parent = {}
 
     def find(x):
@@ -322,7 +325,7 @@ def test_near_dup_groups_and_dedup_near(spark, docs_df):
     want = {n: find(n) for n in parent}
     assert got == want
     kept = {r["doc_id"] for r in dedup.dedup_near(docs_df, pairs).collect()}
-    dropped = {int(n) for n, g in want.items() if n != g}
+    dropped = {n for n, g in want.items() if n != g}
     assert kept == {d for d, _ in DOCS} - dropped
 
 

@@ -130,7 +130,6 @@ _PRED = {
 def make_codekg_golden() -> None:
     src = repos_src_rows(400, seed=42)
     alias_rows = codekg.default_code_alias_rows()
-    alias_map = dict(alias_rows)
 
     # union-find over the dim graph (use_lsh=False: candidate edges are a
     # subset of dim edges, so the graph is exactly the dim edges)
@@ -171,7 +170,8 @@ def make_codekg_golden() -> None:
                 continue  # dropDuplicates(doc_id, field, value)
             seen_mention.add(key)
             obj = node_canonical.get(m["value"], m["value"])
-            conf = 1.0 if alias_map.get(m["value"]) else 1.0  # score coalesce
+            # use_lsh=False: dict hits score 1.0, misses coalesce to 1.0
+            conf = 1.0
             pred = _PRED.get(m["field"], "mentions_identifier")
             tkey = (doc_id, pred, obj)
             row = {

@@ -93,13 +93,22 @@ def run_phases(cores: int, mult: int, content_scale: int) -> dict:
     # C: codekg extract -- pUDF map + explode
     mentions = codekg.extract_code_mentions(repos).persist(StorageLevel.MEMORY_AND_DISK)
     timed("codekg_extract", lambda: mentions.count())
-    # D: codekg link+canonize+triples -- broadcast join, CC, narrow dedup
+    # D: codekg link -- broadcast alias join + candidate materialization
+    # (timed via its own count barrier; canonicalize's eager CC actions
+    # would otherwise force this work OUTSIDE any timer)
     alias = codekg.code_alias_dim(spark)
     cands = codekg.link_mentions(mentions, alias, use_lsh=False).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    nodes = codekg.canonicalize(cands, alias)
-    n_kg = timed("codekg_link_triples", lambda: codekg.build_triples(cands, nodes).count())
+    timed("codekg_link", lambda: cands.count())
+
+    # E: codekg canonicalize + triples -- CC (driver fast path) + the
+    # single narrow-key dedup shuffle
+    def _canon_and_triples():
+        nodes = codekg.canonicalize(cands, alias)
+        return codekg.build_triples(cands, nodes).count()
+
+    n_kg = timed("codekg_canon_triples", _canon_and_triples)
 
     total = round(sum(phases.values()), 3)
     spark.stop()
