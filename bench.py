@@ -131,8 +131,10 @@ def kg_job(cores: int, scale_mult: int | None = None) -> dict:
 
     scale_mult = scale_mult or int(os.environ.get("SPARK_GRAFT_SCALE_MULT", "4"))
     content_scale = int(os.environ.get("SPARK_GRAFT_CONTENT_SCALE", "10"))
+    # fixed 64 shuffle partitions at BOTH levels: sized to the data so
+    # reduce-side hash aggs don't spill (see tools/scaling_phases.py)
     spark = get_spark("bench-scaling", master=f"local[{cores}]",
-                      shuffle_partitions=max(cores, 8))
+                      shuffle_partitions=64)
     spark.sparkContext.setLogLevel("ERROR")
     corpus = avaluo_docs(AVALUO_DOCS_N * scale_mult, seed=42, content_scale=content_scale)
     docs = spark.createDataFrame(

@@ -5,6 +5,13 @@ re-plan + skew-join splitting for mega-repos), Arrow on (every UDF in
 this engine is a vectorized pandas UDF), explicit shuffle-partition
 sizing. On a real cluster the same confs ship via spark-submit --conf;
 `local[N]` here is the sandbox stand-in for N executors.
+
+Shuffle-partition sizing: size to DATA, not cores — target ~100-250k
+rows (or ~128 MB) per reduce task. An undersized count makes reduce
+hash-aggregations spill (measured: the 17M-row triple dedup was FLAT
+from 2 to 8 cores at 8 partitions, 0.81-efficient at 64); an oversized
+count is harmless because AQE coalesces it back down, but AQE can
+never SPLIT an undersized aggregation.
 """
 
 from __future__ import annotations

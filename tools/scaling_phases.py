@@ -53,8 +53,12 @@ def run_phases(cores: int, mult: int, content_scale: int) -> dict:
     from structured_data_entity_extraction_spark.triples import records_to_triples
 
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+    # shuffle partitions sized to DATA, identical at both levels: at
+    # sp=max(cores,8) the 17M-row triple agg built ~2M-entry hash maps
+    # per reduce task and spilled (canon+triples was FLAT 2->8: 33 vs
+    # 41 s); at 64 partitions (~260k rows/task) it scales 0.81
     spark = get_spark("scaling-phases", master=f"local[{cores}]",
-                      shuffle_partitions=max(cores, 8))
+                      shuffle_partitions=64)
     spark.sparkContext.setLogLevel("ERROR")
 
     corpus = avaluo_docs(AVALUO_N * mult, seed=42, content_scale=content_scale)
