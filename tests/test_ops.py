@@ -348,3 +348,21 @@ def test_ivf_topk_recall_and_planted(spark, vecs_df):
         for r in similarity.ivf_topk(df, queries, k=1, n_centroids=8, n_probe=3).collect()
     }
     assert top.get(0) == 5  # planted near-dup of query 0
+
+
+def test_minhash_pairs_subset_of_exact_with_equal_jaccard(spark, docs_df):
+    """Consistency law: the LSH path reranks candidates by EXACT
+    jaccard, so every found pair must appear in the exhaustive
+    inverted-index result with an identical jaccard value (only recall
+    may differ, never values)."""
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.ngram_jaccard_pairs(docs_df, threshold=0.5, df_cap=0).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.minhash_lsh_pairs(docs_df, threshold=0.5).collect()
+    }
+    assert set(lsh) <= set(exact)
+    for k, v in lsh.items():
+        assert v == exact[k], (k, v, exact[k])

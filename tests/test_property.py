@@ -90,3 +90,38 @@ def test_never_raises_and_matches_reference(texts):
         for fn in ("validez", "opcion_de_firma", "estado", "colonia", "calle", "fecha"):
             assert getattr(refsem, fn)(t) == REF[fn](t), (fn, repr(t))
         assert tuple(refsem.valor(t)) == tuple(REF["valor"](t)), repr(t)
+
+
+@settings(**_SETTINGS)
+@given(
+    w=st.integers(1, 12),
+    h=st.integers(1, 10),
+    channels=st.sampled_from([1, 2, 3, 4]),
+    data=st.data(),
+)
+def test_png_codec_roundtrip_property(w, h, channels, data):
+    """encode->decode recovers arbitrary pixel buffers for every
+    supported channel count and geometry (pure stdlib codec)."""
+    from structured_data_entity_extraction_spark.ops import modal_codecs as mc
+
+    n = w * h * channels
+    pixels = bytes(data.draw(st.binary(min_size=n, max_size=n)))
+    img = mc.decode_png(mc.encode_png(w, h, pixels, channels=channels))
+    assert (img["width"], img["height"], img["channels"]) == (w, h, channels)
+    assert bytes(img["pixels"]) == pixels
+
+
+@settings(**_SETTINGS)
+@given(
+    samples=st.lists(st.integers(-32768, 32767), min_size=0, max_size=64),
+    rate=st.sampled_from([8000, 16000, 44100]),
+)
+def test_wav_codec_roundtrip_property(samples, rate):
+    import struct
+
+    from structured_data_entity_extraction_spark.ops import modal_codecs as mc
+
+    wav = mc.decode_wav(mc.encode_wav(samples, sample_rate=rate))
+    assert wav["sample_rate"] == rate and wav["n_frames"] == len(samples)
+    got = list(struct.unpack(f"<{len(samples)}h", wav["pcm"])) if samples else []
+    assert got == samples
