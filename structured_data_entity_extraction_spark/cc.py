@@ -34,14 +34,22 @@ def connected_components(
     alias dictionary) is union-found on the driver in one pass -- the
     distributed loop's per-round job latency would dominate it. Larger
     graphs take the iterative path. Same results either way (tested)."""
+    from pyspark import StorageLevel
+
+    # persist: the size probe (limit.count) and the fast-path collect /
+    # iterative rounds would otherwise each re-run the upstream distinct
+    # (a full shuffle of the edge source -- 17M rows in the codekg
+    # pipeline) once per action
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     if small_threshold and sym.limit(small_threshold + 1).count() <= small_threshold:
         pairs = [(r["a"], r["b"]) for r in sym.collect()]
+        sym.unpersist()
         parent: dict = {}
 
         def find(x):
@@ -87,4 +95,5 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    sym.unpersist()  # labels are localCheckpoint'ed, independent of sym
     return labels
