@@ -283,15 +283,20 @@ def q_rollup_orders(spark, sf_dir):
 
 
 def q_top_orders_by_lines(spark, sf_dir):
-    """Top-10 orders by lineitem count (deterministic integer top-k)."""
+    """Top-10 orders by lineitem count (deterministic integer top-k).
+
+    orderBy+limit compiles to TakeOrderedAndProject (per-partition heap
+    + driver merge) -- no single-partition exchange. A global
+    Window.orderBy here would funnel the whole counts frame through one
+    task; the rank is derived afterwards on the 10 surviving rows."""
     from pyspark.sql import Window
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     counts = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_lines"))
+    top = counts.orderBy(F.desc("n_lines"), F.asc("l_orderkey")).limit(10)
     w = Window.orderBy(F.desc("n_lines"), F.asc("l_orderkey"))
     return (
-        counts.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 10)
+        top.withColumn("rnk", F.row_number().over(w))
         .select("rnk", F.col("l_orderkey").alias("orderkey"), "n_lines")
         .orderBy("rnk")
     )

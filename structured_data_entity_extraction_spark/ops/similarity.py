@@ -168,6 +168,11 @@ def lsh_topk(
         q = q.withColumn("probe", F.explode(probes))
     else:
         q = q.withColumn("probe", F.col("qbucket"))
+    # no distinct needed (same argument as ivf_topk): each corpus vector
+    # has exactly one cbucket and a query's probe values (qbucket and its
+    # single-bit flips) are pairwise distinct, so the join emits every
+    # (query_id, vec_id) pair at most once -- a distinct here would be a
+    # pure wasted shuffle of the candidate set
     cand = c.join(
         F.broadcast(q),
         (F.col("cbucket") == F.col("probe")) & (F.col("vec_id") != F.col("query_id")),
@@ -175,7 +180,7 @@ def lsh_topk(
         "query_id",
         "vec_id",
         cosine_expr(F.col("qvec"), F.col("cvec")).alias("cos"),
-    ).distinct()
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
         cand.withColumn("rank", F.row_number().over(w))
