@@ -126,7 +126,11 @@ def sessionize_stateful(events: DataFrame, gap_s: int = 1800) -> DataFrame:
             e = t.timestamp()
             if last is None or e - last > gap_s:
                 sessions += 1
-            last = e
+            # frontier only ADVANCES: an out-of-order event delivered in
+            # a later micro-batch (no watermark bounds lateness here)
+            # must not move it backward, or the next in-order event can
+            # falsely exceed gap_s and open a phantom session
+            last = max(last, e) if last is not None else e
             n_ev += 1
         state.update((last, sessions, n_ev))
         yield pd.DataFrame(

@@ -164,3 +164,13 @@ def test_sessionize_stateful_carries_state_across_batches(spark, tmp_path):
     )
     assert got2[1] == (1, 3)  # still ONE session -- state carried over
     assert got2[2] == (2, 2)  # gap exceeded -> second session
+    # batch 3 (ADVICE r2): u1 gets an OUT-OF-ORDER event 40 min before
+    # the frontier (base+30). The frontier must not move backward --
+    # otherwise the next in-order event (base+45, only 15 min past the
+    # true frontier) would falsely open a phantom session.
+    got3 = run_batch([(1, base - dt.timedelta(minutes=10))])
+    assert got3[1] == (1, 4)  # e - frontier = -40 min < gap -> same session
+    got4 = run_batch([(1, base + dt.timedelta(minutes=45))])
+    # 15 min past the TRUE frontier (base+30) -> same session; with the
+    # regressed frontier (base-10) this would falsely open session 2
+    assert got4[1] == (1, 5)
