@@ -400,7 +400,10 @@ def q_avaluo_triples(spark, sf_dir):
 
 
 def q_codekg_triples(spark, sf_dir):
-    """North-rule code-KG pipeline on the seeded repos_src corpus."""
+    """North-rule code-KG pipeline on the seeded repos_src corpus, with
+    the native MinHash-LSH fuzzy-link stage IN-PLAN (use_lsh=True): the
+    fixture plants near-miss imports (pandas2, reactjs, tokios,
+    net/https) whose links are hash-checked by the golden twin."""
     from structured_data_entity_extraction_spark import codekg
     from structured_data_entity_extraction_spark.fixtures import repos_src_rows
     from structured_data_entity_extraction_spark.schemas import REPOS_SRC
@@ -411,7 +414,7 @@ def q_codekg_triples(spark, sf_dir):
         REPOS_SRC,
     )
     return (
-        codekg.build_kg(df, use_lsh=False)
+        codekg.build_kg(df, use_lsh=True)
         .select("subj", "pred", "obj", "doc_id", "repo", "lang", "content_sha", "conf")
         .orderBy("subj", "pred", "obj")
     )
@@ -523,6 +526,49 @@ _MINHASH_PAIRS_SQL = _SHINGLES_CTE.format(filt="") + """
 """
 
 _TRIPLE_COLS = "subj, pred, obj, doc_id, repo, lang, content_sha, conf"
+
+
+def _simhash_pairs_sql(max_hamming: int = 3) -> str:
+    """ANSI-SQL twin of ops/dedup.simhash_pairs: 64-bit simhash per doc
+    (md5 of each whitespace token, bit i weighted +-1, sign -> bit),
+    4x16-bit band candidate generation, exact popcount filter. Token
+    stream matches Python's str.split(): lower, trim, split on \\s+,
+    empty tokens dropped (zero-token docs get sim = 0 unsigned)."""
+    acc_cols = ",\n             ".join(
+        f"sum(CASE WHEN (hv >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS a{i}"
+        for i in range(64)
+    )
+    # literal powers of two: DuckDB's << range-checks 1 << 63
+    sim_expr = " + ".join(
+        f"(CASE WHEN coalesce(a{i}, 0) > 0 THEN {1 << i}::UBIGINT ELSE 0::UBIGINT END)"
+        for i in range(64)
+    )
+    band_cond = " OR ".join(
+        f"((a.sim >> {16 * i}) & 65535) = ((b.sim >> {16 * i}) & 65535)"
+        for i in range(4)
+    )
+    return f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(trim(lower(coalesce(text, ''))), '\\s+')) AS tok
+          FROM documents
+        ), hashed AS (
+          SELECT doc_id, ('0x' || substring(md5(tok), 1, 16))::UBIGINT AS hv
+          FROM toks WHERE tok <> ''
+        ), acc AS (
+          SELECT doc_id,
+             {acc_cols}
+          FROM hashed GROUP BY doc_id
+        ), sims AS (
+          SELECT d.doc_id, {sim_expr} AS sim
+          FROM documents d LEFT JOIN acc USING (doc_id)
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               bit_count(xor(a.sim, b.sim))::INT AS hamming
+        FROM sims a JOIN sims b ON a.doc_id < b.doc_id AND ({band_cond})
+        WHERE bit_count(xor(a.sim, b.sim)) <= {max_hamming}
+        ORDER BY id_a, id_b
+    """
 
 
 def _golden_oracle(name: str, cols: str = _TRIPLE_COLS) -> str:
@@ -779,7 +825,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "avaluo_triples": _golden_oracle("avaluo_triples"),
         "codekg_triples": _golden_oracle("codekg_triples"),
-        "simhash_pairs": _golden_oracle("simhash_pairs", "id_a, id_b, hamming"),
+        # simhash is fully SQL-expressible (md5 hex prefix -> UBIGINT,
+        # per-bit +-1 sums, band extraction via shifts), so the r2
+        # builder-authored golden twin is retired in favor of a DuckDB
+        # oracle independent of any Python the builder wrote
+        "simhash_pairs": _simhash_pairs_sql(),
         "ann_lsh_topk": _golden_oracle("ann_lsh_topk", "query_id, rank, vec_id, cos_r"),
         "ann_ivf_topk": _golden_oracle("ann_ivf_topk", "query_id, rank, vec_id, cos_r"),
         "multimodal_features": _golden_oracle(

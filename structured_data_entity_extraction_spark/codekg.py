@@ -203,9 +203,94 @@ def _char_ngrams(s: str, n: int = 3) -> list[str]:
     return [s[i : i + n] for i in range(max(1, len(s) - n + 1))]
 
 
-@pandas_udf(T.ArrayType(T.StringType()))
-def ngrams_udf(vals: pd.Series) -> pd.Series:
-    return vals.map(lambda v: _char_ngrams(v or ""))
+def char_ngrams_col(value, n: int = 3):
+    """JVM twin of ``_char_ngrams``: '^'+value+'$' sliced into n-grams
+    with substr over a sequence -- whole-stage codegen, no Python."""
+    padded = F.concat(F.lit("^"), value, F.lit("$"))
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(padded) - F.lit(n - 1), F.lit(1))),
+        lambda i: padded.substr(i, F.lit(n)),
+    )
+
+
+def lsh_alias_map(
+    values: DataFrame,
+    alias_dim: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+) -> DataFrame:
+    """Distinct surface values -> best fuzzy dim match via NATIVE
+    MinHash-LSH banding (the md5 machinery of ops/dedup.minhash_lsh_pairs
+    at value level -- no pyspark.ml fit/transform, every hash
+    reproducible in DuckDB/Python, so the flagship LSH path is golden-
+    oracle-checkable; VERDICT r2 #1).
+
+    Bands of r=1 (key = the minhash itself): for short strings recall is
+    what matters -- candidate probability at jaccard j is 1-(1-j)^16
+    (j=0.5 -> 1-2^-16) -- and false candidates die in the exact-jaccard
+    rerank. The dim side is a dimension table: broadcast in both the
+    band join and the rerank. Returns (value, lsh_canonical, lsh_score)
+    with score = EXACT char-3-gram jaccard; ties break on canonical
+    then alias ascending."""
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    from .ops.dedup import minhash_col
+
+    # grams feed the signature branch AND the rerank; values is the
+    # distinct-miss set (value-level, small relative to mentions)
+    vg = values.withColumn("grams", char_ngrams_col(F.col("value"))).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    dg = alias_dim.select("alias", "canonical").withColumn(
+        "grams", char_ngrams_col(F.col("alias"))
+    )
+
+    def banded(df: DataFrame, *keep: str) -> DataFrame:
+        mins = [minhash_col(F.col("grams"), i).alias(f"h{i}") for i in range(num_hashes)]
+        sigs = df.select(*keep, *mins)
+        entries = F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.md5(F.concat_ws("|", F.col(f"h{i}"))).alias("key"),
+                )
+                for i in range(num_hashes)
+            ]
+        )
+        return sigs.select(*keep, F.explode(entries).alias("bk")).select(
+            *keep, "bk.band", "bk.key"
+        )
+
+    # candidate pairs: any band (= any minhash) agrees; a pair can
+    # collide on several bands, hence the distinct (real dedup here,
+    # unlike the single-bucket ANN joins)
+    cand = (
+        banded(vg, "value")
+        .join(F.broadcast(banded(dg, "alias", "canonical")), ["band", "key"])
+        .select("value", "alias", "canonical")
+        .distinct()
+    )
+    dim_grams = dg.select(F.col("alias").alias("r_alias"), F.col("grams").alias("dgrams"))
+    jac = F.size(F.array_intersect("grams", "dgrams")) / F.size(
+        F.array_union("grams", "dgrams")
+    )
+    scored = (
+        cand.join(vg.select("value", "grams"), "value")
+        .join(F.broadcast(dim_grams), F.col("alias") == F.col("r_alias"))
+        .select("value", "alias", "canonical", jac.alias("jac"))
+        .filter(F.col("jac") >= threshold)
+    )
+    w = Window.partitionBy("value").orderBy(F.desc("jac"), F.asc("canonical"), F.asc("alias"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "value",
+            F.col("canonical").alias("lsh_canonical"),
+            F.col("jac").alias("lsh_score"),
+        )
+    )
 
 
 def link_mentions(
@@ -216,12 +301,16 @@ def link_mentions(
 ) -> DataFrame:
     """mentions + alias dim -> candidates(doc_id, field, value, canonical,
     score, method). Exact alias hits via broadcast equi-join (method=
-    'dict', score=1.0); misses among import mentions go through
-    MinHash-LSH char-3-gram blocking (method='lsh', score=1-jaccardDist).
+    'dict', score=1.0); misses among import mentions go through native
+    MinHash-LSH char-3-gram blocking (method='lsh', score = exact gram
+    jaccard of the matched alias).
 
     The LSH side joins DISTINCT values against the dim -- candidate
     generation is value-level, then rejoined to mentions, so the
-    expensive approx join runs on |distinct misses| not |mentions|.
+    banding join runs on |distinct misses| not |mentions|. The rejoin
+    broadcasts the lsh map (bounded by the values that fuzzy-match a
+    dimension entry -- dimension-sized at any corpus scale), so no
+    shuffle of the mention stream and no skew from hot values.
     """
     dict_hits = mentions.join(
         F.broadcast(alias_dim), mentions.value == alias_dim["alias"], "left"
@@ -243,32 +332,9 @@ def link_mentions(
     if misses.isEmpty():
         return dict_hits
 
-    from pyspark.ml.feature import HashingTF, MinHashLSH
-
-    tf = HashingTF(inputCol="grams", outputCol="features", numFeatures=1 << 16)
-    a = tf.transform(misses.withColumn("grams", ngrams_udf("value")))
-    b = tf.transform(
-        alias_dim.select("alias", "canonical").withColumn("grams", ngrams_udf("alias"))
-    )
-    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=4, seed=42)
-    model = lsh.fit(a)
-    sim = model.approxSimilarityJoin(a, b, 1.0 - lsh_threshold, distCol="dist")
-    # best dim match per value (deterministic tiebreak on canonical)
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("value").orderBy("dist", "lsh_canonical")
-    lsh_map = (
-        sim.select(
-            F.col("datasetA.value").alias("value"),
-            F.col("datasetB.canonical").alias("lsh_canonical"),
-            "dist",
-        )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("value", "lsh_canonical", (1.0 - F.col("dist")).alias("lsh_score"))
-    )
+    lsh_map = lsh_alias_map(misses, alias_dim, threshold=lsh_threshold)
     return (
-        dict_hits.join(lsh_map, "value", "left")
+        dict_hits.join(F.broadcast(lsh_map), "value", "left")
         .select(
             *[c for c in mentions.columns],
             F.coalesce("canonical", "lsh_canonical").alias("canonical"),

@@ -164,10 +164,15 @@ def _concretize(alias_pattern: str, rng: random.Random) -> str:
 
 _LANGS = ["python", "javascript", "rust", "go", "yaml", "ini"]
 
-_PY_MODULES = ["os", "sys", "json", "numpy", "pandas", "re", "math", "collections"]
-_JS_MODULES = ["react", "lodash", "express", "axios", "fs", "path"]
-_RS_CRATES = ["serde", "tokio", "rand", "regex", "clap"]
-_GO_PKGS = ["fmt", "strings", "net/http", "encoding/json", "os"]
+# pools include NEAR-MISS surface forms (pandas2, reactjs, tokios,
+# net/https) that are absent from the alias dim but within char-3-gram
+# jaccard >= 0.5 of a dim alias -- they exercise the MinHash-LSH fuzzy
+# link stage (L6) end to end; genuinely-unknown modules (express, clap,
+# ...) stay unlinked
+_PY_MODULES = ["os", "sys", "json", "numpy", "pandas", "re", "math", "collections", "pandas2"]
+_JS_MODULES = ["react", "lodash", "express", "axios", "fs", "path", "reactjs"]
+_RS_CRATES = ["serde", "tokio", "rand", "regex", "clap", "tokios"]
+_GO_PKGS = ["fmt", "strings", "net/http", "encoding/json", "os", "net/https"]
 _IDENT_POOL = [
     "parse_config", "load_data", "run_pipeline", "Handler", "Worker",
     "compute_hash", "merge_results", "Settings", "Router", "validate",

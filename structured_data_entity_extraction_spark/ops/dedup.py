@@ -221,6 +221,8 @@ _SIMHASH_BITS = 64
 
 
 def _simhash_one(tokens: list[str]) -> int:
+    """Scalar reference implementation (kept as the property-test twin
+    of the vectorized kernel below)."""
     import hashlib as _h
 
     acc = [0] * _SIMHASH_BITS
@@ -235,9 +237,30 @@ def _simhash_one(tokens: list[str]) -> int:
     return out - (1 << 63)  # to signed long
 
 
+def _simhash_np(tokens: list[str]) -> int:
+    """numpy-vectorized simhash: one md5 per token (unavoidable), then
+    the 64 bit-accumulate ops run as two array expressions instead of a
+    64-iteration Python loop per token. Bit-identical to _simhash_one
+    (property-tested)."""
+    import hashlib as _h
+
+    import numpy as np
+
+    if not tokens:
+        return -(1 << 63)
+    buf = b"".join(_h.md5(t.encode()).digest()[:8] for t in tokens)
+    hvs = np.frombuffer(buf, dtype=">u8").astype(np.uint64)
+    shifts = np.arange(_SIMHASH_BITS, dtype=np.uint64)
+    ones = ((hvs[:, None] >> shifts) & np.uint64(1)).sum(axis=0, dtype=np.int64)
+    acc = 2 * ones - len(tokens)
+    setbits = (acc > 0).astype(np.uint64)
+    # sum in uint64: the true value is < 2^64, so modular wrap is exact
+    return int((setbits << shifts).sum(dtype=np.uint64)) - (1 << 63)
+
+
 @pandas_udf(T.LongType())
 def simhash_udf(texts: pd.Series) -> pd.Series:
-    return texts.map(lambda t: _simhash_one((t or "").lower().split()))
+    return texts.map(lambda t: _simhash_np((t or "").lower().split()))
 
 
 def simhash_pairs(

@@ -125,3 +125,18 @@ def test_wav_codec_roundtrip_property(samples, rate):
     assert wav["sample_rate"] == rate and wav["n_frames"] == len(samples)
     got = list(struct.unpack(f"<{len(samples)}h", wav["pcm"])) if samples else []
     assert got == samples
+
+
+@settings(**_SETTINGS)
+@given(
+    tokens=st.lists(
+        st.text(alphabet=st.characters(codec="utf-8", exclude_categories=["Z", "C"]), max_size=8),
+        max_size=60,
+    )
+)
+def test_simhash_numpy_kernel_matches_scalar(tokens):
+    """The vectorized simhash kernel is bit-identical to the scalar
+    reference on arbitrary token streams (incl. empty)."""
+    from structured_data_entity_extraction_spark.ops.dedup import _simhash_np, _simhash_one
+
+    assert _simhash_np(tokens) == _simhash_one(tokens)

@@ -127,12 +127,72 @@ _PRED = {
 }
 
 
+def _lsh_best_match(
+    miss_values: set[str],
+    alias_rows: list[tuple[str, str]],
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+) -> dict[str, tuple[str, float]]:
+    """Pure-Python twin of codekg.lsh_alias_map: md5 minhash signatures
+    (r=1 banding: candidate iff ANY of the 16 minhashes agrees), exact
+    char-3-gram-SET jaccard rerank >= threshold, best per value with
+    (jaccard desc, canonical asc, alias asc) tiebreak. Bit-identical to
+    the Spark path: same md5-on-utf8 hashing, same int/int IEEE
+    division."""
+
+    def grams(s: str) -> list[str]:
+        return codekg._char_ngrams(s)
+
+    def sig(gs: list[str]) -> list[str]:
+        return [
+            min(
+                hashlib.md5(f"{i}:{g}".encode()).hexdigest()[:16] for g in gs
+            )
+            for i in range(num_hashes)
+        ]
+
+    dim = [(a, c, set(grams(a)), sig(grams(a))) for a, c in alias_rows]
+    best: dict[str, tuple[str, float]] = {}
+    for v in miss_values:
+        vg = grams(v)
+        vset, vsig = set(vg), sig(vg)
+        cands = []
+        for alias, canonical, aset, asig in dim:
+            if not any(vsig[i] == asig[i] for i in range(num_hashes)):
+                continue  # no band collision -> never a candidate
+            jac = len(vset & aset) / len(vset | aset)
+            if jac >= threshold:
+                cands.append((-jac, canonical, alias))
+        if cands:
+            neg_jac, canonical, _alias = min(cands)
+            best[v] = (canonical, -neg_jac)
+    return best
+
+
 def make_codekg_golden() -> None:
+    """Twin of q_codekg_triples with use_lsh=True: dict linking +
+    native-MinHash-LSH fuzzy linking + union-find canonicalization +
+    (doc, pred, obj) max-conf dedup, all without Spark."""
     src = repos_src_rows(400, seed=42)
     alias_rows = codekg.default_code_alias_rows()
+    alias_map = dict(alias_rows)
 
-    # union-find over the dim graph (use_lsh=False: candidate edges are a
-    # subset of dim edges, so the graph is exactly the dim edges)
+    # pass 1: extract all mentions, collect the LSH input = distinct
+    # import-field values missing from the dict with len >= 2
+    extracted = []
+    miss_values: set[str] = set()
+    for r in src:
+        mentions = codekg._extract_code_one(r["content"], r["lang"])
+        extracted.append((r, mentions))
+        for m in mentions:
+            v = m["value"]
+            if m["field"] == "import" and v not in alias_map and len(v) >= 2:
+                miss_values.add(v)
+    lsh_best = _lsh_best_match(miss_values, alias_rows)
+
+    # union-find over dim edges + lsh edges (value -> matched canonical);
+    # mirrors canonicalize(): candidates with canonical NOT NULL are
+    # exactly dict hits (alias->canonical, already dim edges) + lsh hits
     parent: dict = {}
 
     def find(x):
@@ -144,7 +204,7 @@ def make_codekg_golden() -> None:
             parent[x], x = root, parent[x]
         return root
 
-    for a, c in alias_rows:
+    for a, c in list(alias_rows) + [(v, c) for v, (c, _j) in lsh_best.items()]:
         ra, rc = find(a), find(c)
         if ra != rc:
             parent[max(ra, rc)] = min(ra, rc)
@@ -157,10 +217,9 @@ def make_codekg_golden() -> None:
 
     triples: dict = {}  # (doc_id, pred, obj) -> row (max conf)
     repo_rows: dict = {}  # doc_id -> row
-    for r in src:
+    for r, mentions in extracted:
         doc_id = _sha2_concat(r["repo"], r["path"], r["commit"])
         content_sha = _sha(r["content"])
-        mentions = codekg._extract_code_one(r["content"], r["lang"])
         if not mentions:
             continue  # explode drops zero-mention docs
         seen_mention = set()
@@ -169,9 +228,17 @@ def make_codekg_golden() -> None:
             if key in seen_mention:
                 continue  # dropDuplicates(doc_id, field, value)
             seen_mention.add(key)
-            obj = node_canonical.get(m["value"], m["value"])
-            # use_lsh=False: dict hits score 1.0, misses coalesce to 1.0
-            conf = 1.0
+            v = m["value"]
+            obj = node_canonical.get(v, v)
+            # conf mirrors coalesce(score, lsh_score, 1.0): the lsh map
+            # rejoins on VALUE alone, so ident mentions sharing a fuzzy-
+            # matched surface form also carry the lsh score
+            if v in alias_map:
+                conf = 1.0
+            elif v in lsh_best:
+                conf = lsh_best[v][1]
+            else:
+                conf = 1.0
             pred = _PRED.get(m["field"], "mentions_identifier")
             tkey = (doc_id, pred, obj)
             row = {
@@ -222,25 +289,9 @@ def _round_half_up(x: float, digits: int) -> float:
     return float(Decimal(x).quantize(q, rounding=ROUND_HALF_UP))
 
 
-def make_simhash_golden() -> None:
-    from structured_data_entity_extraction_spark.ops.dedup import _simhash_one
-
-    docs = pq.read_table(os.path.join(SF001, "documents.parquet")).to_pylist()
-    sims = {d["doc_id"]: _simhash_one((d["text"] or "").lower().split()) for d in docs}
-    ids = sorted(sims)
-    rows = []
-    for i, a in enumerate(ids):
-        for b in ids[i + 1 :]:
-            h = bin((sims[a] ^ sims[b]) & ((1 << 64) - 1)).count("1")
-            if h <= 3:
-                rows.append({"id_a": a, "id_b": b, "hamming": h})
-    schema = pa.schema([("id_a", pa.int64()), ("id_b", pa.int64()), ("hamming", pa.int32())])
-    table = pa.Table.from_pydict(
-        {k: [r[k] for r in rows] for k in schema.names}, schema=schema
-    )
-    os.makedirs(GOLDEN_DIR, exist_ok=True)
-    pq.write_table(table, os.path.join(GOLDEN_DIR, "simhash_pairs.parquet"), compression="zstd")
-    print(f"wrote simhash_pairs.parquet: {len(rows)} rows")
+# simhash_pairs' golden twin was retired in r3: md5 hex prefixes, the
+# per-bit +-1 sums and the 16-bit banding are all DuckDB-expressible,
+# so the oracle is now pure SQL (__spark_entry__._simhash_pairs_sql).
 
 
 def _dot_seq(a: list[float], b: list[float]) -> float:
@@ -389,7 +440,6 @@ def make_multimodal_golden(n: int = 30) -> None:
 if __name__ == "__main__":
     make_avaluo_golden()
     make_codekg_golden()
-    make_simhash_golden()
     make_ann_lsh_golden()
     make_ivf_golden()
     make_multimodal_golden()
