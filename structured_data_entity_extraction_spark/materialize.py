@@ -6,12 +6,12 @@ granularity").
 Iceberg-style layout on plain parquet (the sandbox has no catalog):
 
     <root>/<stage>/data/...            partitioned parquet
-    <root>/<stage>/_lineage/...        per-partition rows+sha-xor+timing
+    <root>/<stage>/_lineage/...        per-partition rows+sha-fold+timing
     <root>/<stage>/_MANIFEST.json      written LAST -> commit marker
 
 A stage directory without _MANIFEST.json is an aborted write and is
 re-run; with it, the stage is skipped and its data re-read. The
-manifest carries total rows and the xor of per-row content_sha so
+manifest carries total rows and a sum-fold of per-row content_sha so
 resume can re-verify the per-row invariant cheaply.
 """
 
@@ -26,23 +26,26 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def _sha_xor_col():
-    """64-bit xor-fold of content_sha -- an order-independent digest that
-    distributes over unions/partitions, so per-partition values xor up
-    to the table value."""
+def _sha_fold_col():
+    """64-bit numeric fold of content_sha (hex prefix -> decimal). The
+    SUM of these folds is an order-independent digest that distributes
+    over unions/partitions, so per-partition values add up to the table
+    value. (It is a sum-fold, not an xor -- named accordingly.)"""
     return F.conv(F.substring("content_sha", 1, 16), 16, 10).cast("decimal(20,0)")
 
 
 def doc_sha_digest(df: DataFrame, id_col: str = "doc_id", sha_col: str = "content_sha") -> str:
     """Order-independent digest of the per-document content shas: sum of
-    the 64-bit folds over DISTINCT (doc_id, sha). Equal digests between
-    the input and a stage checkpoint prove the per-row sha256 invariant
-    survived the stage (BASELINE.json:input_hint) -- robust to row
+    the 64-bit folds over DISTINCT (doc_id, sha). A digest match is
+    strong PROBABILISTIC evidence the per-row sha256 invariant survived
+    the stage (BASELINE.json:input_hint) -- additive folds can in
+    principle cancel, so the fast path in sha_invariant_report also
+    requires the distinct-pair COUNT to match. Robust to row
     multiplication (mentions explode) because of the distinct."""
     row = (
         df.select(F.col(id_col).alias("doc_id"), F.col(sha_col).alias("content_sha"))
         .distinct()
-        .agg(F.sum(_sha_xor_col()).alias("d"))
+        .agg(F.sum(_sha_fold_col()).alias("d"))
         .collect()[0]
     )
     return str(row["d"])
@@ -59,41 +62,45 @@ def doc_sha_pairs(df: DataFrame, id_col: str = "doc_id", sha_col: str = "content
 def sha_invariant_report(stage_df: DataFrame, input_pairs: DataFrame, input_digest: str) -> dict:
     """Verify the per-row sha256 invariant for one stage checkpoint.
 
-    Fast path: the order-independent digest matches the input digest
-    (no doc lost, no sha changed) -- one cheap aggregation. Slow path
-    (digest differs): a stage may legitimately DROP documents (explode
-    on an empty mention array drops zero-mention docs), but it must
-    never carry a (doc_id, content_sha) pair absent from the input --
-    that would mean a corrupted sha or a foreign row. The anti-join
-    distinguishes the two; only the latter is an error."""
+    Fast path: the order-independent sum-fold digest AND the distinct-
+    pair count both match the input -- two cheap aggregations. (The
+    count guard closes the additive-cancellation hole: dropping pairs
+    A+B while adding a foreign C with the same fold sum would fool the
+    digest alone, but changes the count.) Slow path: a stage may
+    legitimately DROP documents (explode on an empty mention array
+    drops zero-mention docs), but it must never carry a
+    (doc_id, content_sha) pair absent from the input -- that would mean
+    a corrupted sha or a foreign row. The anti-join distinguishes the
+    two; only the latter is an error."""
     pairs = doc_sha_pairs(stage_df)
     digest = doc_sha_digest(stage_df)
-    if digest == input_digest:
+    n_pairs = pairs.count()
+    n_input = input_pairs.count()
+    if digest == input_digest and n_pairs == n_input:
         return {"sha_invariant_ok": True, "docs_dropped": 0}
     bad = pairs.join(input_pairs, ["doc_id", "content_sha"], "left_anti").count()
     if bad:
         return {"sha_invariant_ok": False, "bad_pairs": bad}
-    dropped = input_pairs.count() - pairs.count()
-    return {"sha_invariant_ok": True, "docs_dropped": dropped}
+    return {"sha_invariant_ok": True, "docs_dropped": n_input - n_pairs}
 
 
 def lineage_frame(df: DataFrame, stage: str, run_id: str) -> DataFrame:
     """Per-partition lineage rows: (stage, partition_id, rows,
-    content_sha_xor, wall_ms, run_id). Uses spark_partition_id + one
+    content_sha_sum, wall_ms, run_id). Uses spark_partition_id + one
     aggregation -- no driver-side loop."""
     has_sha = "content_sha" in df.columns
     base = df.withColumn("partition_id", F.spark_partition_id())
     agg = base.groupBy("partition_id").agg(
         F.count(F.lit(1)).alias("rows"),
         (
-            F.sum(_sha_xor_col()) if has_sha else F.lit(None).cast("decimal(20,0)")
+            F.sum(_sha_fold_col()) if has_sha else F.lit(None).cast("decimal(20,0)")
         ).alias("sha_sum"),
     )
     return agg.select(
         F.lit(stage).alias("stage"),
         F.col("partition_id").cast("int"),
         F.col("rows").cast("long"),
-        F.col("sha_sum").cast("string").alias("content_sha_xor"),
+        F.col("sha_sum").cast("string").alias("content_sha_sum"),
         F.lit(None).cast("long").alias("wall_ms"),
         F.lit(run_id).alias("run_id"),
     )

@@ -1,15 +1,18 @@
 """Pure-stdlib binary codecs for the multimodal column family.
 
-The container has no PIL/opencv/torchaudio, but PNG and WAV are fully
-decodable with ``zlib``/``struct`` and the ``wave`` module -- so the
-image and audio decode paths are REAL (bytes -> pixels / PCM), not
-sha-fakes. Video remains an honest stub (no stdlib container parser);
-see multimodal.decode_video.
+The container has no PIL/opencv/torchaudio/ffmpeg, but PNG, WAV and
+Y4M are fully decodable with ``zlib``/``struct``/``wave`` and plain
+header parsing -- so all three modal decode paths are REAL
+(bytes -> pixels / PCM / frames), not sha-fakes.
 
 PNG support: 8-bit greyscale / RGB / RGBA / grey+alpha, non-interlaced,
 all five scanline filters (None/Sub/Up/Average/Paeth) -- the subset a
 feature-extraction pipeline sees from standard encoders. Public format
 per the PNG spec (RFC 2083).
+
+Video support: YUV4MPEG2 (y4m) -- the uncompressed interchange format
+(mjpegtools/ffmpeg `-f yuv4mpeg`): an ASCII parameter header followed
+by raw planar frames. C420* / C422 / C444 / Cmono colorspaces.
 """
 
 from __future__ import annotations
@@ -42,9 +45,12 @@ def decode_png(data: bytes) -> dict:
         if len(payload) != length:
             raise CodecError("truncated chunk")
         if tag == b"IHDR":
-            width, height, bit_depth, color_type, _comp, _filt, interlace = struct.unpack(
-                ">IIBBBBB", payload
-            )
+            try:
+                width, height, bit_depth, color_type, _comp, _filt, interlace = struct.unpack(
+                    ">IIBBBBB", payload
+                )
+            except struct.error as e:
+                raise CodecError(f"bad IHDR: {e}") from e
         elif tag == b"IDAT":
             idat += payload
         elif tag == b"IEND":
@@ -58,9 +64,20 @@ def decode_png(data: bytes) -> dict:
             f"interlace={interlace})"
         )
     ch = _CHANNELS[color_type]
-    raw = zlib.decompress(bytes(idat))
+    if width == 0 or height == 0:
+        raise CodecError("zero-size image")
     stride = width * ch
-    if len(raw) != (stride + 1) * height:
+    expected = (stride + 1) * height
+    # bound the inflate to the geometry the header promises: a crafted
+    # tiny IDAT (decompression bomb) must not allocate past `expected`
+    try:
+        d = zlib.decompressobj()
+        raw = d.decompress(bytes(idat), expected)
+        if d.unconsumed_tail or d.decompress(b"", 1):
+            raise CodecError("IDAT inflates past the declared geometry")
+    except zlib.error as e:
+        raise CodecError(f"bad IDAT stream: {e}") from e
+    if len(raw) != expected:
         raise CodecError("IDAT size mismatch")
     out = bytearray(stride * height)
     prev = bytearray(stride)
@@ -146,6 +163,97 @@ def encode_wav(samples: list[int], sample_rate: int = 16000) -> bytes:
     return buf.getvalue()
 
 
+# ------------------------------------------------------------- Y4M video
+
+_Y4M_SIG = b"YUV4MPEG2"
+# chroma subsampling -> bytes per frame as a fraction of width*height
+_Y4M_PLANES = {
+    "420": (1, 2, 2),  # (luma, chroma x-div, chroma y-div)
+    "422": (1, 2, 1),
+    "444": (1, 1, 1),
+    "mono": (1, 0, 0),
+}
+
+
+def decode_y4m(data: bytes) -> dict:
+    """YUV4MPEG2 bytes -> {width, height, fps_num, fps_den, n_frames,
+    y_planes: list[bytes]}. Pure header parsing + raw plane slicing --
+    the whole container format is an ASCII parameter line followed by
+    'FRAME\\n' + planar YUV per frame."""
+    if not data or not data.startswith(_Y4M_SIG):
+        raise CodecError("not a Y4M (bad signature)")
+    nl = data.find(b"\n")
+    if nl < 0:
+        raise CodecError("truncated Y4M header")
+    width = height = None
+    fps_num, fps_den = 25, 1
+    cspace = "420"
+    try:
+        for param in data[len(_Y4M_SIG) : nl].split(b" "):
+            if not param:
+                continue
+            tag, val = chr(param[0]), param[1:].decode("ascii")
+            if tag == "W":
+                width = int(val)
+            elif tag == "H":
+                height = int(val)
+            elif tag == "F":
+                num, den = val.split(":")
+                fps_num, fps_den = int(num), int(den)
+            elif tag == "C":
+                cspace = "mono" if val.startswith("mono") else val[:3]
+    except (ValueError, UnicodeDecodeError) as e:
+        raise CodecError(f"bad Y4M header: {e}") from e
+    if not width or not height:
+        raise CodecError("Y4M header missing W/H")
+    if cspace not in _Y4M_PLANES:
+        raise CodecError(f"unsupported Y4M colorspace C{cspace}")
+    _luma, cx, cy = _Y4M_PLANES[cspace]
+    y_size = width * height
+    frame_size = y_size + (2 * (width // cx) * (height // cy) if cx else 0)
+    pos = nl + 1
+    y_planes = []
+    while pos < len(data):
+        fnl = data.find(b"\n", pos)
+        if fnl < 0 or not data[pos:fnl].startswith(b"FRAME"):
+            raise CodecError("bad FRAME marker")
+        frame = data[fnl + 1 : fnl + 1 + frame_size]
+        if len(frame) != frame_size:
+            raise CodecError("truncated frame")
+        y_planes.append(frame[:y_size])
+        pos = fnl + 1 + frame_size
+    return {
+        "width": width,
+        "height": height,
+        "fps_num": fps_num,
+        "fps_den": fps_den,
+        "n_frames": len(y_planes),
+        "y_planes": y_planes,
+    }
+
+
+def encode_y4m(
+    width: int,
+    height: int,
+    y_planes: list[bytes],
+    fps: tuple[int, int] = (25, 1),
+    cspace: str = "420",
+) -> bytes:
+    """Minimal Y4M encoder (chroma planes neutral 0x80) -- used by the
+    synthetic-asset generator so video decode tests run on real Y4M."""
+    _luma, cx, cy = _Y4M_PLANES[cspace]
+    chroma = bytes([0x80]) * (2 * (width // cx) * (height // cy)) if cx else b""
+    cname = {"420": "420jpeg", "422": "422", "444": "444", "mono": "mono"}[cspace]
+    head = f"YUV4MPEG2 W{width} H{height} F{fps[0]}:{fps[1]} Ip A1:1 C{cname}\n"
+    out = [head.encode("ascii")]
+    for y in y_planes:
+        if len(y) != width * height:
+            raise CodecError("y plane size mismatch")
+        out.append(b"FRAME\n")
+        out.append(bytes(y) + chroma)
+    return b"".join(out)
+
+
 # ------------------------------------------------------ feature kernels
 
 FEATURE_DIM = 16
@@ -170,6 +278,25 @@ def image_feature(data: bytes) -> list[float]:
             sums[cell] += lum
             counts[cell] += 1
     return [round(s / c / 255.0, 6) if c else 0.0 for s, c in zip(sums, counts)]
+
+
+def video_feature(data: bytes) -> list[float]:
+    """16-dim real video feature: mean luma per temporal slice (frames
+    bucketed into 16 equal time slices), [0, 1]. Decodes actual Y4M
+    frames."""
+    vid = decode_y4m(data)
+    frames = vid["y_planes"]
+    if not frames:
+        return [0.0] * FEATURE_DIM
+    means = [sum(y) / len(y) for y in frames]
+    out = []
+    n = len(means)
+    for i in range(FEATURE_DIM):
+        lo = i * n // FEATURE_DIM
+        hi = max((i + 1) * n // FEATURE_DIM, lo + 1)
+        chunk = means[lo:hi] if lo < n else means[-1:]
+        out.append(round(sum(chunk) / len(chunk) / 255.0, 6))
+    return out
 
 
 def audio_feature(data: bytes) -> list[float]:

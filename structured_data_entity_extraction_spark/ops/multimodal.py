@@ -2,12 +2,12 @@
 columns with typed metadata, processed via Arrow-batched
 ``mapInPandas``.
 
-Decode status (r2): image (PNG) and audio (WAV) decode are REAL --
-pure-stdlib codecs in modal_codecs.py turn bytes into pixels / PCM and
-the features are computed from the decoded signal. Video remains an
-honest stub (no stdlib container parser; see ``decode_video``), with a
-deterministic sha-derived placeholder feature and the frame-sampling
-contract exercised on the raw payload.
+Decode status (r3): image (PNG), audio (WAV) and video (Y4M) decode
+are all REAL -- pure-stdlib codecs in modal_codecs.py turn bytes into
+pixels / PCM / frames and the features are computed from the decoded
+signal. Compressed video containers (mp4/mkv) would need ffmpeg; at
+scale the decode fn is swapped per container type behind the same
+mapInPandas plumbing.
 
 At 100 TB the pattern is: assets live in parquet binary columns (or
 object-store paths), decode/feature-extract runs as mapInPandas so one
@@ -33,9 +33,12 @@ from .modal_codecs import (
     audio_feature,
     decode_png,
     decode_wav,
+    decode_y4m,
     encode_png,
     encode_wav,
+    encode_y4m,
     image_feature,
+    video_feature,
 )
 
 ASSET_SCHEMA = T.StructType(
@@ -73,18 +76,18 @@ FRAME_SCHEMA = T.StructType(
 
 
 def _fake_feature(data: bytes) -> list[float]:
-    """Deterministic placeholder for kinds with no real decoder (video):
-    16 floats from the sha256 of the bytes."""
+    """Deterministic placeholder for UNKNOWN kinds: 16 floats from the
+    sha256 of the bytes."""
     h = hashlib.sha256(data or b"").digest()
     return [b / 255.0 for b in h[:FEATURE_DIM]]
 
 
-def decode_video(data: bytes):
-    """Real video decode -- unavailable without a container parser
-    (ffmpeg/decord); the stub boundary is now video-only."""
-    raise NotImplementedError(
-        "video decode requires ffmpeg/decord; not installed in this environment"
-    )
+def decode_video(data: bytes) -> dict:
+    """Real video decode for the Y4M container (uncompressed planar
+    YUV -- the stdlib-parseable interchange format). Compressed
+    containers would require ffmpeg; swap this fn at deploy time, the
+    Spark plumbing is container-agnostic."""
+    return decode_y4m(data)
 
 
 def _extract_one(kind: str, data: bytes) -> dict:
@@ -101,6 +104,10 @@ def _extract_one(kind: str, data: bytes) -> dict:
             wav = decode_wav(data)
             out["dec_sample_rate"] = wav["sample_rate"]
             out["feature"] = audio_feature(data)
+        elif kind == "video":
+            vid = decode_video(data)
+            out["dec_width"], out["dec_height"] = vid["width"], vid["height"]
+            out["feature"] = video_feature(data)
         else:
             out["feature"] = _fake_feature(data)
     except Exception as e:  # noqa: BLE001 -- fault boundary (CodecError etc.)
@@ -135,24 +142,28 @@ def extract_features(assets: DataFrame) -> DataFrame:
     return assets.mapInPandas(gen, FEATURE_SCHEMA)
 
 
-def sample_frames(assets: DataFrame, every_n: int = 2, frame_size: int = 64) -> DataFrame:
-    """Deterministic frame sampling for video assets: slice the binary
-    payload into fixed-size pseudo-frames, keep every n-th. (The slicing
-    is the stub; the explode-shaped output contract is the real part.)"""
+def sample_frames(assets: DataFrame, every_n: int = 2) -> DataFrame:
+    """Frame sampling for video assets: decode the Y4M container, keep
+    every n-th REAL frame's luma plane. Undecodable payloads yield a
+    single frame_idx=-1 row with null bytes (fault-row contract)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for _, r in pdf.iterrows():
-                data = r["data"] or b""
-                n = max(1, len(data) // frame_size)
-                for i in range(0, n, every_n):
+                try:
+                    vid = decode_video(r["data"])
+                    for i in range(0, vid["n_frames"], every_n):
+                        rows.append(
+                            {
+                                "asset_id": r["asset_id"],
+                                "frame_idx": i,
+                                "frame_bytes": vid["y_planes"][i],
+                            }
+                        )
+                except Exception:  # noqa: BLE001 -- fault boundary
                     rows.append(
-                        {
-                            "asset_id": r["asset_id"],
-                            "frame_idx": i,
-                            "frame_bytes": data[i * frame_size : (i + 1) * frame_size],
-                        }
+                        {"asset_id": r["asset_id"], "frame_idx": -1, "frame_bytes": None}
                     )
             yield pd.DataFrame(rows, columns=["asset_id", "frame_idx", "frame_bytes"])
 
@@ -160,10 +171,10 @@ def sample_frames(assets: DataFrame, every_n: int = 2, frame_size: int = 64) -> 
 
 
 def synthetic_asset_rows(n: int = 20, seed: int = 42) -> list[tuple]:
-    """Seeded assets with REAL payloads for image/audio: decodable PNGs
-    (8x8 RGB, rng pixels) and WAVs (16-bit mono, rng-mixed sine), so
-    decode tests and goldens exercise the actual codecs. Video payloads
-    stay random bytes behind the stub boundary."""
+    """Seeded assets with REAL payloads for all three kinds: decodable
+    PNGs (8x8 RGB, rng pixels), WAVs (16-bit mono, rng-mixed sine) and
+    Y4Ms (8 frames of 8x8 moving-gradient luma), so decode tests and
+    goldens exercise the actual codecs end to end."""
     import random
 
     rng = random.Random(seed)
@@ -187,8 +198,17 @@ def synthetic_asset_rows(n: int = 20, seed: int = 42) -> list[tuple]:
             data = encode_wav(samples, sample_rate=16000)
             rows.append((f"asset{i:04d}", kind, data, None, None, 16000, None))
         else:
-            data = bytes(rng.randrange(256) for _ in range(rng.randint(64, 512)))
-            rows.append((f"asset{i:04d}", kind, data, None, None, None, 8))
+            w = h = 8
+            n_frames = 8
+            base = rng.randrange(200)
+            frames = [
+                bytes(
+                    (base + 7 * f + x + y) % 256 for y in range(h) for x in range(w)
+                )
+                for f in range(n_frames)
+            ]
+            data = encode_y4m(w, h, frames, fps=(25, 1))
+            rows.append((f"asset{i:04d}", kind, data, w, h, None, n_frames))
     return rows
 
 

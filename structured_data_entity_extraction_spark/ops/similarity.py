@@ -83,28 +83,37 @@ def ivf_topk(
     n_probe: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    codebook: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: a coarse quantizer
     assigns every corpus vector to its nearest centroid (the inverted
     list), each query probes only its ``n_probe`` closest centroids'
     lists, and candidates are reranked by exact cosine.
 
-    The coarse centroids are the vectors of the ``n_centroids``
-    lowest-id corpus rows -- a deterministic seeded codebook (k-means
-    would give better lists but its float mean is partition-order
-    dependent, i.e. nondeterministic; at 100 TB you'd train the
-    codebook offline and broadcast it, exactly as this broadcasts the
-    literal centroid arrays). Assignment is a JVM-side argmax over
-    ``n_centroids`` cosine expressions -- a narrow map over the corpus,
-    no shuffle; the probe join keys on centroid id, so per-query work
-    is |corpus| * n_probe / n_centroids."""
-    rows = (
-        corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v"))
-        .orderBy("vid")
-        .limit(n_centroids)
-        .collect()
-    )
-    cents = [(i, list(r["v"])) for i, r in enumerate(rows)]
+    ``codebook``: a precomputed centroid table (the production path --
+    train offline with tools/train_codebook.py's deterministic k-means
+    on a sample, then pass the centroids here; they are embedded as
+    literal arrays, i.e. broadcast). Without it, the centroids default
+    to the ``n_centroids`` lowest-id corpus rows -- deterministic but
+    unrepresentative on clustered data (an inline distributed k-means
+    would be partition-order dependent, i.e. nondeterministic).
+    Assignment is a JVM-side argmax over the centroid cosine
+    expressions -- a narrow map over the corpus, no shuffle; the probe
+    join keys on centroid id, so per-query work is
+    |corpus| * n_probe / n_centroids."""
+    if codebook is not None:
+        cents = [(i, [float(x) for x in c]) for i, c in enumerate(codebook)]
+        n_probe = min(n_probe, len(cents))
+    else:
+        rows = (
+            corpus.select(
+                F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
+            )
+            .orderBy("vid")
+            .limit(n_centroids)
+            .collect()
+        )
+        cents = [(i, list(r["v"])) for i, r in enumerate(rows)]
 
     def best_cells(vec: Column, n: int) -> Column:
         """Array of the n centroid ids with highest cosine (desc, id asc)."""

@@ -90,7 +90,7 @@ LINEAGE = T.StructType(
         T.StructField("stage", T.StringType(), False),
         T.StructField("partition_id", T.IntegerType(), False),
         T.StructField("rows", T.LongType(), False),
-        T.StructField("content_sha_xor", T.StringType(), True),
+        T.StructField("content_sha_sum", T.StringType(), True),
         T.StructField("wall_ms", T.LongType(), True),
         T.StructField("run_id", T.StringType(), False),
     ]

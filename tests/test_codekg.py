@@ -81,7 +81,8 @@ def _union_find(edges):
 
 def test_cc_matches_union_find(spark):
     """Property check: CC labels equal a driver-side union-find on a
-    random-ish alias graph with chains, stars and singleton pairs."""
+    random-ish alias graph with chains, stars and singleton pairs --
+    on ALL FOUR strategies (driver, min-label, star, auto-fallback)."""
     import random
 
     rng = random.Random(3)
@@ -90,20 +91,58 @@ def test_cc_matches_union_find(spark):
     for _ in range(150):
         a, b = rng.sample(nodes, 2)
         edges.append((a, b))
-    # a long chain to force >2 iterations
+    # a long chain to force >2 iterations + a self loop (singleton)
     for i in range(20):
         edges.append((f"c{i:02d}", f"c{i+1:02d}"))
+    edges.append(("loner", "loner"))
     df = spark.createDataFrame(edges, ["src", "dst"])
     want = _union_find(edges)
     # driver fast path (small graph)
     got_fast = {r["node"]: r["component"] for r in connected_components(df).collect()}
     assert got_fast == want
-    # distributed iterative path (forced)
-    got_dist = {
+    # distributed min-label path (forced; 21-chain needs ~21 rounds)
+    got_ml = {
         r["node"]: r["component"]
-        for r in connected_components(df, small_threshold=0).collect()
+        for r in connected_components(df, small_threshold=0, method="minlabel", max_iter=30).collect()
     }
-    assert got_dist == want
+    assert got_ml == want
+    # distributed two-phase star path (forced)
+    stats: dict = {}
+    got_star = {
+        r["node"]: r["component"]
+        for r in connected_components(df, small_threshold=0, method="star", stats=stats).collect()
+    }
+    assert got_star == want
+    assert stats["method"] == "star" and stats["rounds"] <= 8
+    # auto with a tiny min-label budget: must detect the deep chain and
+    # fall back to star, still exact
+    stats2: dict = {}
+    got_auto = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            df, small_threshold=0, method="auto", minlabel_rounds=3, stats=stats2
+        ).collect()
+    }
+    assert got_auto == want and stats2["method"] == "star"
+
+
+def test_cc_star_beats_minlabel_on_deep_chain(spark):
+    """A planted 200-node chain: min-label needs O(diameter) rounds
+    (raises at max_iter=20); the star algorithm converges in O(log^2 n)
+    -- the 100-TB-scale argument for deep near-dup link chains."""
+    import pytest as _pytest
+
+    edges = [(f"v{i:04d}", f"v{i+1:04d}") for i in range(200)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, small_threshold=0, method="minlabel", max_iter=20)
+    stats: dict = {}
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df, small_threshold=0, method="star", stats=stats).collect()
+    }
+    assert got == _union_find(edges)
+    assert stats["rounds"] <= 12  # vs 200 rounds for min-label
 
 
 def test_pipeline_resume_and_lineage(spark, repos_df, tmp_path):

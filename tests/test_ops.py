@@ -191,9 +191,16 @@ def test_multimodal_features_and_frames(spark):
             assert (r["dec_width"], r["dec_height"]) == (8, 8)
         elif r["kind"] == "audio":
             assert r["dec_sample_rate"] == 16000
-    frames = multimodal.sample_frames(assets, every_n=2, frame_size=64).collect()
-    assert frames and all(r["frame_idx"] % 2 == 0 for r in frames)
-    with pytest.raises(NotImplementedError, match="video decode"):
+        elif r["kind"] == "video":  # REAL decode: metadata from the frames
+            assert (r["dec_width"], r["dec_height"]) == (8, 8)
+    # real frame sampling: 8 y4m frames, every 2nd -> idx 0/2/4/6 with
+    # actual 8x8 luma planes
+    frames = multimodal.sample_frames(assets, every_n=2).collect()
+    assert frames and sorted({r["frame_idx"] for r in frames}) == [0, 2, 4, 6]
+    assert all(len(r["frame_bytes"]) == 64 for r in frames)
+    from structured_data_entity_extraction_spark.ops.modal_codecs import CodecError
+
+    with pytest.raises(CodecError):
         multimodal.decode_video(b"\x00")
 
 
@@ -216,14 +223,16 @@ def test_png_codec_roundtrip_and_filters():
 
     from structured_data_entity_extraction_spark.ops import modal_codecs as mc
 
-    w, h = 5, 4
+    w, h = 5, 5
     pixels = bytes((x * 40 + y * 10 + c) % 256 for y in range(h) for x in range(w) for c in range(3))
     data = mc.encode_png(w, h, pixels, channels=3)
     img = mc.decode_png(data)
     assert (img["width"], img["height"], img["channels"]) == (w, h, 3)
     assert bytes(img["pixels"]) == pixels
 
-    # hand-filter the same raw scanlines with Sub(1)/Up(2)/Paeth(4)/None
+    # hand-filter the same raw scanlines cycling ALL FIVE filter types
+    # (None/Sub/Up/Average/Paeth) so every decoder branch reconstructs
+    # known pixels (ADVICE r2: Average previously untested)
     stride = w * 3
     rows = [bytearray(pixels[y * stride : (y + 1) * stride]) for y in range(h)]
 
@@ -235,12 +244,15 @@ def test_png_codec_roundtrip_and_filters():
     filtered = bytearray()
     prev = bytearray(stride)
     for y, row in enumerate(rows):
-        f = [0, 1, 2, 4][y % 4]
+        f = [0, 1, 2, 3, 4][y % 5]
         filtered.append(f)
         for i in range(stride):
             a = row[i - 3] if i >= 3 else 0
             c = prev[i - 3] if i >= 3 else 0
-            pred = {0: 0, 1: a, 2: prev[i], 4: paeth(a, prev[i], c)}[f]
+            pred = {
+                0: 0, 1: a, 2: prev[i], 3: (a + prev[i]) >> 1,
+                4: paeth(a, prev[i], c),
+            }[f]
             filtered.append((row[i] - pred) & 0xFF)
         prev = row
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
@@ -266,6 +278,91 @@ def test_wav_codec_roundtrip():
     assert list(struct.unpack(f"<{len(samples)}h", wav["pcm"])) == samples
     feat = mc.audio_feature(data)
     assert len(feat) == mc.FEATURE_DIM and all(0.0 <= f <= 1.0 for f in feat)
+
+
+def test_ivf_trained_codebook_beats_seeded_on_clustered(spark):
+    """Offline k-means codebook (tools/train_codebook.py) must lift IVF
+    recall vs the lowest-id seeded default on BLOCK-ordered clustered
+    data (where the first 16 rows all come from one cluster, making the
+    seeded codebook maximally unrepresentative)."""
+    import numpy as np
+
+    from tools.train_codebook import train_codebook
+
+    rng = np.random.RandomState(0)
+    centers = rng.randn(8, 64) * 5.0
+    rows = [
+        (i, (centers[i // 25] + rng.randn(64)).tolist())  # block-ordered clusters
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = df.filter(F.col("vec_id") < 5)
+    truth = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.brute_force_topk(df, qs, k=10).collect()
+    }
+
+    def recall(out):
+        got = {(r["query_id"], r["vec_id"]) for r in out.collect()}
+        return len(got & truth) / len(truth)
+
+    seeded = recall(similarity.ivf_topk(df, qs, k=10, n_centroids=8, n_probe=2))
+    cb = train_codebook([v for _, v in rows], n_centroids=8, n_iter=10)
+    trained = recall(similarity.ivf_topk(df, qs, k=10, n_probe=2, codebook=cb))
+    assert trained >= seeded
+    assert trained >= 0.9  # well-separated clusters: near-perfect lists
+    # determinism: same input -> same codebook
+    assert cb == train_codebook([v for _, v in rows], n_centroids=8, n_iter=10)
+
+
+def test_y4m_codec_roundtrip_and_feature():
+    from structured_data_entity_extraction_spark.ops import modal_codecs as mc
+
+    w, h = 6, 4
+    frames = [bytes((f * 30 + i) % 256 for i in range(w * h)) for f in range(5)]
+    data = mc.encode_y4m(w, h, frames, fps=(30, 1))
+    vid = mc.decode_y4m(data)
+    assert (vid["width"], vid["height"], vid["n_frames"]) == (w, h, 5)
+    assert (vid["fps_num"], vid["fps_den"]) == (30, 1)
+    assert [bytes(p) for p in vid["y_planes"]] == frames
+    feat = mc.video_feature(data)
+    assert len(feat) == mc.FEATURE_DIM and all(0.0 <= f <= 1.0 for f in feat)
+    # fault contract: garbage / truncated payloads raise CodecError
+    import pytest as _pytest
+
+    for bad in (b"", b"\x00" * 8, data[:20], data[: len(data) - 3]):
+        with _pytest.raises(mc.CodecError):
+            mc.decode_y4m(bad)
+
+
+def test_png_decompression_bomb_rejected():
+    """ADVICE r2: a crafted IDAT that inflates past the declared
+    geometry must raise CodecError, bounded by the header dims -- never
+    allocate the bomb."""
+    import struct
+    import zlib
+
+    from structured_data_entity_extraction_spark.ops import modal_codecs as mc
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)  # 2x2 grey: 6 raw bytes
+    bomb = zlib.compress(b"\x00" * 10_000_000, 9)  # ~10 MB of zeros, tiny payload
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + mc._png_chunk(b"IHDR", ihdr)
+        + mc._png_chunk(b"IDAT", bomb)
+        + mc._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(mc.CodecError, match="inflates past"):
+        mc.decode_png(png)
+    # malformed zlib stream -> CodecError too (not a bare zlib.error)
+    png_badz = (
+        b"\x89PNG\r\n\x1a\n"
+        + mc._png_chunk(b"IHDR", ihdr)
+        + mc._png_chunk(b"IDAT", b"\xff\xfe\xfd")
+        + mc._png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(mc.CodecError, match="bad IDAT"):
+        mc.decode_png(png_badz)
 
 
 def test_lang_id_tiebreak_ascending(spark):

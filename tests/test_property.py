@@ -140,3 +140,25 @@ def test_simhash_numpy_kernel_matches_scalar(tokens):
     from structured_data_entity_extraction_spark.ops.dedup import _simhash_np, _simhash_one
 
     assert _simhash_np(tokens) == _simhash_one(tokens)
+
+
+@settings(**_SETTINGS)
+@given(
+    w=st.integers(1, 10),
+    h=st.integers(1, 8),
+    n_frames=st.integers(0, 6),
+    cspace=st.sampled_from(["420", "422", "444", "mono"]),
+    data=st.data(),
+)
+def test_y4m_codec_roundtrip_property(w, h, n_frames, cspace, data):
+    """encode->decode recovers arbitrary luma planes for every
+    supported chroma layout and geometry (pure stdlib codec)."""
+    from structured_data_entity_extraction_spark.ops import modal_codecs as mc
+
+    n = w * h
+    frames = [
+        bytes(data.draw(st.binary(min_size=n, max_size=n))) for _ in range(n_frames)
+    ]
+    vid = mc.decode_y4m(mc.encode_y4m(w, h, frames, cspace=cspace))
+    assert (vid["width"], vid["height"], vid["n_frames"]) == (w, h, n_frames)
+    assert [bytes(p) for p in vid["y_planes"]] == frames

@@ -403,6 +403,7 @@ def make_multimodal_golden(n: int = 30) -> None:
     from structured_data_entity_extraction_spark.ops.modal_codecs import (
         decode_png,
         decode_wav,
+        decode_y4m,
     )
     from structured_data_entity_extraction_spark.ops.multimodal import (
         synthetic_asset_rows,
@@ -420,6 +421,9 @@ def make_multimodal_golden(n: int = 30) -> None:
             r["dec_width"], r["dec_height"] = img["width"], img["height"]
         elif kind == "audio":
             r["dec_sample_rate"] = decode_wav(data)["sample_rate"]
+        elif kind == "video":
+            vid = decode_y4m(data)
+            r["dec_width"], r["dec_height"] = vid["width"], vid["height"]
         rows.append(r)
     schema = pa.schema(
         [
