@@ -62,14 +62,14 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict, dict]:
         return records_to_triples(avaluo_records(docs))
 
     def run_codekg(spark, _sf):
-        return codekg.build_kg(repos, use_lsh=False)
+        return codekg.build_kg(repos, use_lsh=True)
 
     # untimed warmup (same policy as kg_job): spin up the Python worker
     # fleet + Arrow serializers + pUDF codegen once, so the timed rows
     # measure the operators, not interpreter cold start (~10 s on 32
     # workers that lands on whichever query touches Python first)
     records_to_triples(avaluo_records(docs.limit(50), persist=False)).count()
-    codekg.build_kg(repos.limit(100), use_lsh=False).count()
+    codekg.build_kg(repos.limit(100), use_lsh=True).count()
 
     plan = {
         "tpch_q1": q["tpch_q1_pricing_summary"],
@@ -148,10 +148,10 @@ def kg_job(cores: int, scale_mult: int | None = None) -> dict:
     docs.count(), repos.count()
     # warmup: JIT + codegen + python worker pool spin-up, untimed
     records_to_triples(avaluo_records(docs.limit(200), persist=False)).count()
-    codekg.build_kg(repos.limit(500), use_lsh=False).count()
+    codekg.build_kg(repos.limit(500), use_lsh=True).count()
     t0 = time.time()
     n1 = records_to_triples(avaluo_records(docs)).count()
-    n2 = codekg.build_kg(repos, use_lsh=False).count()
+    n2 = codekg.build_kg(repos, use_lsh=True).count()
     secs = round(time.time() - t0, 3)
     spark.stop()
     return {

@@ -232,16 +232,14 @@ def lsh_alias_map(
     band join and the rerank. Returns (value, lsh_canonical, lsh_score)
     with score = EXACT char-3-gram jaccard; ties break on canonical
     then alias ascending."""
-    from pyspark import StorageLevel
     from pyspark.sql import Window
 
+    from .ops.cache import persist_tracked
     from .ops.dedup import minhash_col
 
     # grams feed the signature branch AND the rerank; values is the
     # distinct-miss set (value-level, small relative to mentions)
-    vg = values.withColumn("grams", char_ngrams_col(F.col("value"))).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    vg = persist_tracked(values.withColumn("grams", char_ngrams_col(F.col("value"))))
     dg = alias_dim.select("alias", "canonical").withColumn(
         "grams", char_ngrams_col(F.col("alias"))
     )
@@ -393,16 +391,12 @@ def build_kg(
     checkpointed path (pipeline.run_codekg_pipeline) materializes each
     stage instead; here intermediates that feed multiple consumers are
     persisted so the extraction pUDF runs exactly once."""
-    from pyspark import StorageLevel
+    from .ops.cache import persist_tracked
 
     spark = repos_src.sparkSession
     alias_dim = alias_dim or code_alias_dim(spark)
-    mentions = extract_code_mentions(repos_src, bucket_count).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    candidates = link_mentions(mentions, alias_dim, use_lsh=use_lsh).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    mentions = persist_tracked(extract_code_mentions(repos_src, bucket_count))
+    candidates = persist_tracked(link_mentions(mentions, alias_dim, use_lsh=use_lsh))
     nodes = canonicalize(candidates, alias_dim)
     return build_triples(candidates, nodes)
 

@@ -10,22 +10,23 @@ SimHash, n-gram Jaccard, embedding-cosine). Designed scale-first:
   inside buckets.
 
 Caching policy: the multi-consumer intermediates (inverted index, gram
-arrays, simhash bands) are persisted MEMORY_AND_DISK and intentionally
-NOT unpersisted -- the returned DataFrames are lazy and still reference
-them. Spark evicts LRU under memory pressure, so this degrades
-gracefully; long-lived sessions sweeping many corpora should call
-``spark.catalog.clearCache()`` between corpora.
+arrays, simhash bands) are persisted MEMORY_AND_DISK via
+``cache.persist_tracked`` and intentionally NOT unpersisted when the
+operator returns -- the returned DataFrames are lazy and still
+reference them; Spark evicts LRU under memory pressure, so a single
+sweep degrades gracefully. Long-lived sessions sweeping many corpora
+wrap each sweep in ``cache.cache_scope()`` to release them eagerly.
 """
 
 from __future__ import annotations
 
 import pandas as pd
-from pyspark import StorageLevel
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
+from .cache import persist_tracked
 from .textstats import shingles_col
 
 
@@ -103,7 +104,7 @@ def ngram_jaccard_pairs(
         sh = sh.join(rare, "shingle", "left_semi")
     # the inverted index feeds three consumers (sizes, both join sides);
     # without persistence each re-runs the scan+shingle+cap subtree
-    sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    sh = persist_tracked(sh)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -170,8 +171,8 @@ def minhash_lsh_pairs(
             F.col(id_col).alias("doc_id"), shingles_col(F.col(text_col), k).alias("grams")
         )
         .filter(F.size("grams") > 0)
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    sh = persist_tracked(sh)
     mins = [minhash_col(F.col("grams"), i).alias(f"h{i}") for i in range(num_hashes)]
     sigs = sh.select("doc_id", *mins)
     band_entries = F.array(
@@ -285,7 +286,8 @@ def simhash_pairs(
             (F.shiftrightunsigned("sim", 16 * i).bitwiseAND(F.lit(0xFFFF))).alias(f"b{i}")
             for i in range(4)
         ],
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    bands = persist_tracked(bands)
     pair_frames = []
     for i in range(4):
         a = bands.alias("a")

@@ -280,6 +280,24 @@ def test_wav_codec_roundtrip():
     assert len(feat) == mc.FEATURE_DIM and all(0.0 <= f <= 1.0 for f in feat)
 
 
+def test_cache_scope_releases_operator_persists(spark):
+    """The dedup-family internal persists are intentionally leaked to
+    LRU by default; cache_scope must release them eagerly on exit
+    (multi-corpus sweep ergonomics, VERDICT r2 #10)."""
+    from structured_data_entity_extraction_spark.ops.cache import cache_scope
+
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    with cache_scope() as frames:
+        dedup.minhash_lsh_pairs(df, threshold=0.6).collect()
+        dedup.ngram_jaccard_pairs(df, threshold=0.5).collect()
+        assert len(frames) >= 2 and all(f.is_cached for f in frames)
+    assert all(not f.is_cached for f in frames)
+    # outside any scope: persists still happen (LRU fallback), tracked nowhere
+    with cache_scope() as outer:
+        pass
+    assert outer == []
+
+
 def test_ivf_trained_codebook_beats_seeded_on_clustered(spark):
     """Offline k-means codebook (tools/train_codebook.py) must lift IVF
     recall vs the lowest-id seeded default on BLOCK-ordered clustered

@@ -97,11 +97,12 @@ def run_phases(cores: int, mult: int, content_scale: int) -> dict:
     # C: codekg extract -- pUDF map + explode
     mentions = codekg.extract_code_mentions(repos).persist(StorageLevel.MEMORY_AND_DISK)
     timed("codekg_extract", lambda: mentions.count())
-    # D: codekg link -- broadcast alias join + candidate materialization
-    # (timed via its own count barrier; canonicalize's eager CC actions
-    # would otherwise force this work OUTSIDE any timer)
+    # D: codekg link -- broadcast alias join + native MinHash-LSH fuzzy
+    # link on the distinct misses (timed via its own count barrier;
+    # canonicalize's eager CC actions would otherwise force this work
+    # OUTSIDE any timer)
     alias = codekg.code_alias_dim(spark)
-    cands = codekg.link_mentions(mentions, alias, use_lsh=False).persist(
+    cands = codekg.link_mentions(mentions, alias, use_lsh=True).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     timed("codekg_link", lambda: cands.count())
