@@ -19,7 +19,13 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from structured_data_entity_extraction_spark.ops import dedup, multimodal, similarity, textstats  # noqa: E402
+from structured_data_entity_extraction_spark.ops import (  # noqa: E402
+    decontam,
+    dedup,
+    multimodal,
+    similarity,
+    textstats,
+)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -346,6 +352,38 @@ def q_events_hourly(spark, sf_dir):
     )
 
 
+def q_decontam_report(spark, sf_dir):
+    """Test-set decontamination: 13-gram collision report of the corpus
+    (doc_id % 50 != 0) against a held-out benchmark slice (% 50 == 0)."""
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    benchmark = docs.filter(F.col("doc_id") % 50 == 0)
+    return decontam.contamination_report(corpus, benchmark, k=13).orderBy("doc_id")
+
+
+def q_repetition_signals(spark, sf_dir):
+    """Gopher-style repetition quality signals (dup lines / dup words /
+    top-token dominance) per document."""
+    return textstats.repetition_signals(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def q_entity_cooccurrence(spark, sf_dir):
+    """KG analytics: modules imported together (doc-level co-occurrence
+    edges over the canonical triple table). Oracle: SQL self-join over
+    the hash-checked codekg golden parquet."""
+    from structured_data_entity_extraction_spark import codekg
+    from structured_data_entity_extraction_spark.fixtures import repos_src_rows
+    from structured_data_entity_extraction_spark.schemas import REPOS_SRC
+
+    rows = repos_src_rows(400, seed=42)
+    df = spark.createDataFrame(
+        [(r["repo"], r["path"], r["commit"], r["lang"], r["content"]) for r in rows],
+        REPOS_SRC,
+    )
+    triples = codekg.build_kg(df, use_lsh=True)
+    return codekg.entity_cooccurrence(triples, pred="imports").orderBy("src", "dst")
+
+
 # ------------------------------------------------ rows-only (non-SQL ops)
 
 
@@ -448,6 +486,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_orders": q_rollup_orders,
         "top_orders_by_lines": q_top_orders_by_lines,
         "dedup_exact_kept": q_dedup_exact_kept,
+        "decontam_report": q_decontam_report,
+        "repetition_signals": q_repetition_signals,
+        "entity_cooccurrence": q_entity_cooccurrence,
         # golden-fixture oracles (reference-derived / pure-Python twin
         # parquet, committed at build time -- tools/make_goldens.py)
         "avaluo_triples": q_avaluo_triples,
@@ -526,6 +567,43 @@ _MINHASH_PAIRS_SQL = _SHINGLES_CTE.format(filt="") + """
 """
 
 _TRIPLE_COLS = "subj, pred, obj, doc_id, repo, lang, content_sha, conf"
+
+
+def _decontam_sql(k: int = 13) -> str:
+    """ANSI-SQL twin of ops/decontam.contamination_report: distinct
+    word-k-gram shingles per doc (docs shorter than k tokens collapse to
+    one whole-text shingle, mirroring textstats.shingles_col), benchmark
+    slice = doc_id % 50 == 0, corpus = the rest."""
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t
+          FROM documents
+        ), sh AS (
+          SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id,
+                   CASE WHEN len(t) < {k} THEN array_to_string(t, ' ')
+                        ELSE array_to_string(t[i:i+{k - 1}], ' ') END AS shingle
+            FROM toks
+            LEFT JOIN LATERAL (
+              SELECT unnest(range(1, greatest(len(t) - {k - 1}, 1) + 1)) AS i
+            ) ON true
+          )
+        ), bench AS (
+          SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0
+        ), corp AS (
+          SELECT doc_id, shingle FROM sh WHERE doc_id % 50 != 0
+        ), sizes AS (
+          SELECT doc_id, count(*) AS n_shingles FROM corp GROUP BY 1
+        ), hits AS (
+          SELECT doc_id, count(*) AS n_hits
+          FROM corp JOIN bench USING (shingle) GROUP BY 1
+        )
+        SELECT s.doc_id, s.n_shingles,
+               coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+               round(coalesce(h.n_hits, 0) / s.n_shingles, 6) AS contamination
+        FROM sizes s LEFT JOIN hits h USING (doc_id)
+        ORDER BY doc_id
+    """
 
 
 def _simhash_pairs_sql(max_hamming: int = 3) -> str:
@@ -822,6 +900,42 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS hour, event_type,
                    count(*) AS n_events, round(sum(value), 2) AS total_value
             FROM events GROUP BY 1, 2 ORDER BY hour, event_type
+        """,
+        "decontam_report": _decontam_sql(),
+        "repetition_signals": r"""
+            WITH base AS (
+              SELECT doc_id,
+                     string_split(coalesce(text, ''), chr(10)) AS lines,
+                     string_split_regex(trim(lower(coalesce(text, ''))), '\s+') AS t
+              FROM documents
+            ), arr AS (
+              SELECT doc_id,
+                     len(lines) AS n_lines,
+                     round(1.0 - len(list_distinct(lines)) / len(lines), 6) AS dup_line_ratio,
+                     round(1.0 - len(list_distinct(t)) / len(t), 6) AS dup_word_ratio,
+                     t
+              FROM base
+            ), cnt AS (
+              SELECT doc_id, tok, count(*) AS c
+              FROM (SELECT doc_id, unnest(t) AS tok FROM arr) GROUP BY 1, 2
+            ), top AS (
+              SELECT doc_id, round(max(c) / sum(c), 6) AS top_word_ratio
+              FROM cnt GROUP BY 1
+            )
+            SELECT a.doc_id, n_lines, dup_line_ratio, dup_word_ratio, top_word_ratio
+            FROM arr a JOIN top USING (doc_id) ORDER BY doc_id
+        """,
+        # co-occurrence logic checked independently over the golden
+        # triple parquet (itself hash-verified by codekg_triples)
+        "entity_cooccurrence": f"""
+            WITH e AS (
+              SELECT DISTINCT doc_id, obj
+              FROM read_parquet('{os.path.join(_GOLDEN_DIR, "codekg_triples.parquet")}')
+              WHERE pred = 'imports'
+            )
+            SELECT a.obj AS src, b.obj AS dst, count(*) AS n_docs
+            FROM e a JOIN e b ON a.doc_id = b.doc_id AND a.obj < b.obj
+            GROUP BY 1, 2 ORDER BY src, dst
         """,
         "avaluo_triples": _golden_oracle("avaluo_triples"),
         "codekg_triples": _golden_oracle("codekg_triples"),

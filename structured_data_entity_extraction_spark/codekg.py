@@ -401,6 +401,29 @@ def build_kg(
     return build_triples(candidates, nodes)
 
 
+def entity_cooccurrence(triples: DataFrame, pred: str = "imports") -> DataFrame:
+    """KG analytics over the triple table: (src, dst, n_docs) edges
+    between canonical entities co-mentioned in the same document under
+    ``pred`` (e.g. modules imported together). Per-doc entity lists are
+    small (imports per file), so the doc_id-keyed self-join is bounded;
+    hot entity PAIRS aggregate with map-side combine. src < dst
+    canonicalizes edge direction."""
+    e = (
+        triples.filter(F.col("pred") == pred)
+        .select("doc_id", "obj")
+        .distinct()
+    )
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("a.obj") < F.col("b.obj")),
+        )
+        .groupBy(F.col("a.obj").alias("src"), F.col("b.obj").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 def build_triples(candidates: DataFrame, nodes: DataFrame) -> DataFrame:
     """candidates + canonical nodes -> (subj, pred, obj) triples.
 

@@ -1,0 +1,82 @@
+"""Test-set decontamination for training-data pipelines: flag (and
+drop) corpus documents that share word-k-gram shingles with a held-out
+benchmark set -- the standard n-gram-collision decontamination step
+(k=13 is the common choice for LLM eval hygiene).
+
+Scale shape: the benchmark side is SMALL (eval suites are thousands of
+rows), so its distinct shingle set is broadcast; the corpus side is one
+explode + broadcast semi/equi join + per-doc aggregation -- the corpus
+never shuffles on content, only the per-doc hit counts aggregate
+(map-side combine first). No pairwise comparisons anywhere.
+
+Both operators are pure built-ins with ANSI-SQL oracle twins in
+__spark_entry__.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .textstats import shingles_col
+
+
+def contamination_report(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    k: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document contamination: (doc_id, n_shingles, n_hits,
+    contamination) where n_hits counts the doc's DISTINCT word-k-grams
+    that appear anywhere in the benchmark and contamination =
+    n_hits / n_shingles. Docs with zero hits are included (0.0) --
+    the report covers the whole corpus."""
+    bench_sh = (
+        benchmark.select(F.explode(shingles_col(F.col(text_col), k)).alias("shingle"))
+        .distinct()
+    )
+    corp_sh = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles_col(F.col(text_col), k)).alias("shingle"),
+    )
+    hits = (
+        corp_sh.join(F.broadcast(bench_sh), "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    sizes = corpus.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(shingles_col(F.col(text_col), k)).alias("n_shingles"),
+    )
+    return sizes.join(hits, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+        F.round(
+            F.coalesce("n_hits", F.lit(0)) / F.col("n_shingles"), 6
+        ).alias("contamination"),
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    max_contamination: float = 0.0,
+    k: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Drop every corpus doc whose contamination exceeds
+    ``max_contamination`` (default: any benchmark shingle hit drops the
+    doc). Anti-join on the flagged id set -- corpus rows stream through
+    untouched otherwise."""
+    flagged = (
+        contamination_report(corpus, benchmark, k, text_col, id_col)
+        .filter(F.col("contamination") > max_contamination)
+        .select(F.col("doc_id").alias("_flagged_id"))
+    )
+    return corpus.join(
+        flagged, corpus[id_col] == flagged["_flagged_id"], "left_anti"
+    )

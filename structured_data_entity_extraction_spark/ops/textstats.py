@@ -117,6 +117,44 @@ def fingerprint_col(text: Column, k: int = 3) -> Column:
     return F.array_min(F.transform(shingles_col(text, k), F.md5))
 
 
+def repetition_signals(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition quality signals per document:
+
+    - dup_line_ratio: 1 - |distinct lines| / |lines|
+    - dup_word_ratio: 1 - |distinct tokens| / |tokens|
+    - top_word_ratio: occurrences of the most frequent token / |tokens|
+
+    The two array ratios are pure per-row built-ins (no shuffle); the
+    top-token mode needs one explode + per-(doc, token) count + per-doc
+    max -- both aggregations combine map-side. ANSI-SQL oracle twin in
+    __spark_entry__.py."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.split(t, r"\n")
+    toks = F.split(F.trim(F.lower(t)), r"\s+")
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(lines).alias("n_lines"),
+        F.round(1.0 - F.size(F.array_distinct(lines)) / F.size(lines), 6).alias(
+            "dup_line_ratio"
+        ),
+        F.round(1.0 - F.size(F.array_distinct(toks)) / F.size(toks), 6).alias(
+            "dup_word_ratio"
+        ),
+        toks.alias("_toks"),
+    )
+    top = (
+        base.select("doc_id", F.explode("_toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"), F.sum("c").alias("n_tok"))
+        .select(
+            "doc_id", F.round(F.col("top_c") / F.col("n_tok"), 6).alias("top_word_ratio")
+        )
+    )
+    return base.drop("_toks").join(top, "doc_id")
+
+
 def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.col(text_col)
     return lang_id(

@@ -280,6 +280,74 @@ def test_wav_codec_roundtrip():
     assert len(feat) == mc.FEATURE_DIM and all(0.0 <= f <= 1.0 for f in feat)
 
 
+def test_decontaminate_drops_benchmark_overlap(spark):
+    """A corpus doc embedding a verbatim benchmark passage (>=13 shared
+    tokens) is flagged and dropped; clean docs survive untouched."""
+    from structured_data_entity_extraction_spark.ops import decontam
+
+    passage = " ".join(f"w{i}" for i in range(20))  # 20-token eval question
+    corpus = spark.createDataFrame(
+        [
+            (1, "prefix text " + passage + " suffix text"),  # contaminated
+            (2, "a perfectly clean document " + " ".join(f"x{i}" for i in range(30))),
+            (3, "short doc"),  # < 13 tokens -> whole-text shingle, no hit
+        ],
+        ["doc_id", "text"],
+    )
+    benchmark = spark.createDataFrame([(100, passage)], ["doc_id", "text"])
+    rep = {
+        r["doc_id"]: (r["n_hits"], r["contamination"])
+        for r in decontam.contamination_report(corpus, benchmark, k=13).collect()
+    }
+    assert rep[1][0] == 8  # 20-token passage -> 8 shared 13-grams
+    assert rep[2] == (0, 0.0) and rep[3] == (0, 0.0)
+    kept = {r["doc_id"] for r in decontam.decontaminate(corpus, benchmark).collect()}
+    assert kept == {2, 3}
+
+
+def test_repetition_signals_planted(spark):
+    """Known repetition ratios: duplicated lines and a dominant token."""
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam ham"),            # 4 toks, 2 distinct, top 3/4
+            (2, "a\nb\na\nb"),                    # 4 lines, 2 distinct
+            (3, "all tokens unique here now"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r for r in textstats.repetition_signals(df).collect()}
+    assert got[1]["dup_word_ratio"] == 0.5 and got[1]["top_word_ratio"] == 0.75
+    assert got[2]["n_lines"] == 4 and got[2]["dup_line_ratio"] == 0.5
+    assert got[3]["dup_word_ratio"] == 0.0 and got[3]["dup_line_ratio"] == 0.0
+    assert got[3]["top_word_ratio"] == 0.2
+
+
+def test_entity_cooccurrence_counts(spark):
+    """Doc-level import co-occurrence edges with canonical direction and
+    per-pair doc counts (repeat mentions inside one doc count once)."""
+    from structured_data_entity_extraction_spark.codekg import entity_cooccurrence
+
+    triples = spark.createDataFrame(
+        [
+            ("d1", "imports", "numpy"), ("d1", "imports", "pandas"),
+            ("d1", "imports", "numpy"),  # dup mention, same doc
+            ("d2", "imports", "numpy"), ("d2", "imports", "pandas"),
+            ("d2", "imports", "react"),
+            ("d3", "declares_function", "numpy"),  # wrong pred, ignored
+        ],
+        ["doc_id", "pred", "obj"],
+    )
+    got = {
+        (r["src"], r["dst"]): r["n_docs"]
+        for r in entity_cooccurrence(triples).collect()
+    }
+    assert got == {
+        ("numpy", "pandas"): 2,
+        ("numpy", "react"): 1,
+        ("pandas", "react"): 1,
+    }
+
+
 def test_cache_scope_releases_operator_persists(spark):
     """The dedup-family internal persists are intentionally leaked to
     LRU by default; cache_scope must release them eagerly on exit
