@@ -24,6 +24,7 @@ from structured_data_entity_extraction_spark.ops import (  # noqa: E402
     dedup,
     multimodal,
     similarity,
+    temporal,
     textstats,
 )
 
@@ -384,6 +385,35 @@ def q_entity_cooccurrence(spark, sf_dir):
     return codekg.entity_cooccurrence(triples, pred="imports").orderBy("src", "dst")
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join: every event annotated with the most recent purchase
+    value at-or-before its timestamp (per user). Single-shuffle
+    union + running-last implementation -- no theta-join."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = temporal.asof_join(ev, purchases, key="user_id", ts="ts", value_cols=("value",))
+    return out.select(
+        "event_id", "user_id", F.round("value_asof", 2).alias("last_purchase_value")
+    ).orderBy("event_id")
+
+
+def q_interval_join(spark, sf_dir):
+    """Point-in-interval range join via time-bucket equi-join: events
+    falling inside any same-user 30-minute post-signup window."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    intervals = ev.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("event_id").alias("interval_id"),
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end"),
+    )
+    pts = ev.select("user_id", "event_id", "ts")
+    out = temporal.interval_join(pts, intervals, bucket_s=3600)
+    return out.select("event_id", "interval_id").orderBy("event_id", "interval_id")
+
+
 # ------------------------------------------------ rows-only (non-SQL ops)
 
 
@@ -489,6 +519,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_report": q_decontam_report,
         "repetition_signals": q_repetition_signals,
         "entity_cooccurrence": q_entity_cooccurrence,
+        "asof_join_last_purchase": q_asof_join,
+        "interval_join_signup_window": q_interval_join,
         # golden-fixture oracles (reference-derived / pure-Python twin
         # parquet, committed at build time -- tools/make_goldens.py)
         "avaluo_triples": q_avaluo_triples,
@@ -900,6 +932,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS hour, event_type,
                    count(*) AS n_events, round(sum(value), 2) AS total_value
             FROM events GROUP BY 1, 2 ORDER BY hour, event_type
+        """,
+        "asof_join_last_purchase": """
+            WITH r AS (
+              SELECT user_id, ts, max(value) AS rv
+              FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+            ), ranked AS (
+              SELECT e.event_id, r.rv,
+                     row_number() OVER (PARTITION BY e.event_id
+                                        ORDER BY r.ts DESC) AS rn
+              FROM events e
+              JOIN r ON r.user_id = e.user_id AND r.ts <= e.ts
+            )
+            SELECT e.event_id, e.user_id, round(p.rv, 2) AS last_purchase_value
+            FROM events e
+            LEFT JOIN (SELECT event_id, rv FROM ranked WHERE rn = 1) p USING (event_id)
+            ORDER BY event_id
+        """,
+        "interval_join_signup_window": """
+            WITH iv AS (
+              SELECT user_id, event_id AS interval_id, ts AS s,
+                     ts + INTERVAL 30 MINUTE AS e
+              FROM events WHERE event_type = 'signup'
+            )
+            SELECT ev.event_id, iv.interval_id
+            FROM events ev
+            JOIN iv ON ev.user_id = iv.user_id AND ev.ts >= iv.s AND ev.ts <= iv.e
+            ORDER BY event_id, interval_id
         """,
         "decontam_report": _decontam_sql(),
         "repetition_signals": r"""

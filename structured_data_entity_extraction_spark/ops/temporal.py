@@ -1,0 +1,95 @@
+"""Temporal join operators Spark lacks as built-ins: as-of join and
+point-in-interval range join. Both are expressed as compositions of
+existing DataFrame ops (the task brief's preferred route) -- no Python
+in the plan, exact ANSI-SQL oracle twins in __spark_entry__.py.
+
+Scale shapes:
+
+- ``asof_join``: the naive formulation (per-left-row "latest right row
+  <= ts" subquery or theta-join + window) explodes to O(|L| x |R|) per
+  key. This implementation tags and UNIONS the two streams, then takes
+  a running ``last(ignorenulls)`` over a (key, ts, side) window -- ONE
+  shuffle on the key, no join at all, state bounded by the window
+  frame. This is the standard distributed as-of pattern (the same
+  shape Flink's temporal join and kdb's aj compile to).
+- ``interval_join``: the theta-join (start <= ts <= end) would be a
+  BroadcastNestedLoopJoin. Exploding each interval over the epoch
+  BUCKETS it overlaps turns it into a keyed equi-join on
+  (key, bucket) + an exact range filter; bucket width trades interval
+  fanout against join selectivity. A point's bucket is always covered
+  by any interval containing the point, and appears exactly once per
+  interval -- so the equi-join loses nothing and never duplicates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    value_cols: tuple[str, ...] = ("value",),
+    suffix: str = "_asof",
+) -> DataFrame:
+    """For every left row, append the right side's ``value_cols`` from
+    the most recent right row with right.ts <= left.ts on the same key
+    (NULL when no such row). Ties at equal ts take the right row (the
+    as-of convention: a quote AT the event time is visible to it).
+
+    The right side is first collapsed to one row per (key, ts) --
+    max per value column -- so the result is deterministic even with
+    duplicate right timestamps; the oracle twin applies the identical
+    collapse."""
+    r = right.groupBy(key, ts).agg(*[F.max(c).alias(c) for c in value_cols])
+    lt = left.withColumn("_side", F.lit(1))
+    rt = r.withColumn("_side", F.lit(0))
+    u = lt.unionByName(rt, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c in value_cols:
+        u = u.withColumn(
+            c + suffix,
+            F.last(F.when(F.col("_side") == 0, F.col(c)), ignorenulls=True).over(w),
+        )
+    return u.filter(F.col("_side") == 1).select(
+        *left.columns, *[c + suffix for c in value_cols]
+    )
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    key: str = "user_id",
+    ts: str = "ts",
+    start: str = "start",
+    end: str = "end",
+    bucket_s: int = 3600,
+) -> DataFrame:
+    """Inner join of point rows to every interval row (same key) whose
+    [start, end] contains the point's timestamp (inclusive both ends).
+    Callers rename colliding columns beforehand. ``bucket_s`` should be
+    on the order of the typical interval length."""
+    p = points.withColumn(
+        "_b", F.floor(F.unix_timestamp(F.col(ts)) / F.lit(bucket_s)).cast("long")
+    )
+    i = intervals.withColumn(
+        "_b",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(start)) / F.lit(bucket_s)).cast("long"),
+                F.floor(F.unix_timestamp(F.col(end)) / F.lit(bucket_s)).cast("long"),
+            )
+        ),
+    )
+    return (
+        p.join(i, [key, "_b"])
+        .filter((F.col(ts) >= F.col(start)) & (F.col(ts) <= F.col(end)))
+        .drop("_b")
+    )

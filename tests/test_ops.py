@@ -348,6 +348,59 @@ def test_entity_cooccurrence_counts(spark):
     }
 
 
+def test_asof_join_planted(spark):
+    """Tie at equal ts takes the right row; duplicate right timestamps
+    collapse deterministically (max); no prior right row -> NULL;
+    foreign key -> NULL."""
+    import datetime as dt
+
+    from structured_data_entity_extraction_spark.ops import temporal
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    m = dt.timedelta(minutes=1)
+    left = spark.createDataFrame(
+        [(1, 10, base), (2, 10, base + 5 * m), (3, 10, base - 1 * m), (4, 20, base)],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(10, base, 100.0), (10, base + 3 * m, 200.0), (10, base + 3 * m, 150.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    got = {
+        r["event_id"]: r["value_asof"]
+        for r in temporal.asof_join(left, right).collect()
+    }
+    assert got == {1: 100.0, 2: 200.0, 3: None, 4: None}
+
+
+def test_interval_join_planted(spark):
+    """Inclusive bounds on both ends; intervals crossing the bucket
+    boundary still match points in the later bucket; key isolation."""
+    import datetime as dt
+
+    from structured_data_entity_extraction_spark.ops import temporal
+
+    def t(h, mi):
+        return dt.datetime(2024, 1, 1, h, mi, 0)
+
+    points = spark.createDataFrame(
+        [
+            (1, 1, t(0, 49)), (2, 1, t(0, 50)), (3, 1, t(1, 10)),
+            (4, 1, t(1, 20)), (5, 1, t(1, 21)), (6, 2, t(1, 0)),
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [(1, 100, t(0, 50), t(1, 20))],
+        "user_id long, interval_id long, start timestamp, end timestamp",
+    )
+    got = {
+        r["event_id"]
+        for r in temporal.interval_join(points, intervals, bucket_s=3600).collect()
+    }
+    assert got == {2, 3, 4}  # inclusive both ends, cross-bucket, no user-2
+
+
 def test_cache_scope_releases_operator_persists(spark):
     """The dedup-family internal persists are intentionally leaked to
     LRU by default; cache_scope must release them eagerly on exit

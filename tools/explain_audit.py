@@ -60,6 +60,12 @@ def main():
         "codekg_triples",
         "avaluo_triples",
         "token_stats",
+        "ann_lsh_topk",
+        "asof_join_last_purchase",
+        "interval_join_signup_window",
+        "decontam_report",
+        "entity_cooccurrence",
+        "top_orders_by_lines",
     ):
         audit(name, qs[name](spark, sf_dir))
     spark.stop()
