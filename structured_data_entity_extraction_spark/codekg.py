@@ -347,21 +347,39 @@ def link_mentions(
 # ------------------------------------------------------------- stage C
 
 
-def canonicalize(candidates: DataFrame, alias_dim: DataFrame) -> DataFrame:
-    """Merge transitive alias chains: edges = dim alias->canonical pairs
-    + LSH-matched value->canonical pairs; CC gives every surface form a
-    component; the component's canonical name is its lexicographically
-    smallest dim canonical (else smallest member). Returns
-    nodes(surface, entity_id, canonical)."""
+def link_edges(candidates: DataFrame, alias_dim: DataFrame) -> DataFrame:
+    """The canonicalization edge list as a first-class KG table
+    (north_rule: "... triples plus node/edge tables"): (src, dst,
+    etype) with etype='alias' for dictionary rows and etype='link' for
+    observed surface->canonical links (dict hits and LSH fuzzy
+    matches). The link side collapses to distinct pairs map-side
+    before any shuffle."""
     dim_edges = alias_dim.select(
-        F.col("alias").alias("src"), F.col("canonical").alias("dst")
+        F.col("alias").alias("src"),
+        F.col("canonical").alias("dst"),
+        F.lit("alias").alias("etype"),
     )
-    lsh_edges = (
+    obs_edges = (
         candidates.filter(F.col("canonical").isNotNull())
         .select(F.col("value").alias("src"), F.col("canonical").alias("dst"))
         .distinct()
+        .withColumn("etype", F.lit("link"))
     )
-    comp = connected_components(dim_edges.unionByName(lsh_edges))
+    return dim_edges.unionByName(obs_edges)
+
+
+def canonicalize(
+    candidates: DataFrame, alias_dim: DataFrame, edges: DataFrame | None = None
+) -> DataFrame:
+    """Merge transitive alias chains: edges = dim alias->canonical pairs
+    + linked value->canonical pairs (``link_edges``, or a materialized
+    edge table passed in by the checkpointed pipeline); CC gives every
+    surface form a component; the component's canonical name is its
+    lexicographically smallest dim canonical (else smallest member).
+    Returns nodes(surface, entity_id, canonical)."""
+    if edges is None:
+        edges = link_edges(candidates, alias_dim)
+    comp = connected_components(edges.select("src", "dst"))
     # preferred canonical per component: min dim canonical present in it
     dim_canon = (
         comp.join(alias_dim, comp.node == alias_dim.canonical, "inner")

@@ -44,8 +44,10 @@ def run_codekg_pipeline(
     alias_rows=None,
     iceberg_catalog: str | None = None,
 ) -> dict:
-    """repos_src -> {mentions, candidates, nodes, triples} checkpointed
-    under out_root; returns stage row counts + timings."""
+    """repos_src -> {mentions, candidates, edges, nodes, triples}
+    checkpointed under out_root (the node/edge KG tables are
+    first-class stages per the north rule); returns stage row counts +
+    timings."""
     store = StageStore(out_root, run_id=run_id, iceberg_catalog=iceberg_catalog)
     metrics: dict = {"run_id": run_id, "stages": {}}
 
@@ -93,7 +95,8 @@ def run_codekg_pipeline(
         lambda: codekg.link_mentions(mentions, alias_dim, use_lsh=use_lsh),
         partition_by=["repo_bucket", "lang"],
     )
-    nodes = timed("nodes", lambda: codekg.canonicalize(candidates, alias_dim))
+    edges = timed("edges", lambda: codekg.link_edges(candidates, alias_dim))
+    nodes = timed("nodes", lambda: codekg.canonicalize(candidates, alias_dim, edges))
     triples = timed(
         "triples",
         lambda: codekg.build_triples(candidates, nodes),

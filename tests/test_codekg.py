@@ -151,7 +151,7 @@ def test_pipeline_resume_and_lineage(spark, repos_df, tmp_path):
     assert m1["triples"] > 0
     # lineage row counts reconcile with manifest totals per stage
     store = StageStore(out, run_id="r1")
-    for stage in ("mentions", "candidates", "triples"):
+    for stage in ("mentions", "candidates", "edges", "nodes", "triples"):
         lin = store.lineage(spark, stage)
         total = lin.agg(F.sum("rows")).collect()[0][0]
         assert total == store.manifest(stage)["rows"]

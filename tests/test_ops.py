@@ -401,6 +401,77 @@ def test_interval_join_planted(spark):
     assert got == {2, 3, 4}  # inclusive both ends, cross-bucket, no user-2
 
 
+def test_asof_join_matches_bruteforce_random(spark):
+    """Seeded randomized law: asof_join == the quadratic reference
+    (per-(key,ts) max collapse, then latest right <= left ts)."""
+    import datetime as dt
+    import random
+
+    from structured_data_entity_extraction_spark.ops import temporal
+
+    rng = random.Random(17)
+    base = dt.datetime(2024, 1, 1)
+
+    def ts(s):
+        return base + dt.timedelta(seconds=s)
+
+    left = [(i, rng.randrange(5), ts(rng.randrange(500))) for i in range(120)]
+    right = [
+        (rng.randrange(5), ts(rng.randrange(500)), round(rng.uniform(0, 100), 3))
+        for _ in range(80)
+    ]
+    collapsed: dict = {}
+    for k, t, v in right:
+        collapsed[(k, t)] = max(collapsed.get((k, t), v), v)
+    want = {}
+    for i, k, t in left:
+        cands = [(rt, v) for (rk, rt), v in collapsed.items() if rk == k and rt <= t]
+        want[i] = max(cands)[1] if cands else None
+    ldf = spark.createDataFrame(left, "event_id long, user_id long, ts timestamp")
+    rdf = spark.createDataFrame(right, "user_id long, ts timestamp, value double")
+    got = {
+        r["event_id"]: r["value_asof"] for r in temporal.asof_join(ldf, rdf).collect()
+    }
+    assert got == want
+
+
+def test_interval_join_matches_bruteforce_random(spark):
+    """Seeded randomized law: bucketed interval_join == the quadratic
+    range predicate, with a small bucket to force interval fanout over
+    many buckets."""
+    import datetime as dt
+    import random
+
+    from structured_data_entity_extraction_spark.ops import temporal
+
+    rng = random.Random(23)
+    base = dt.datetime(2024, 1, 1)
+
+    def ts(s):
+        return base + dt.timedelta(seconds=s)
+
+    points = [(i, rng.randrange(4), ts(rng.randrange(1000))) for i in range(100)]
+    intervals = []
+    for j in range(40):
+        s = rng.randrange(1000)
+        intervals.append((rng.randrange(4), j, ts(s), ts(s + rng.randrange(0, 300))))
+    want = {
+        (i, j)
+        for i, pk, pt in points
+        for ik, j, s, e in intervals
+        if pk == ik and s <= pt <= e
+    }
+    pdf = spark.createDataFrame(points, "event_id long, user_id long, ts timestamp")
+    idf = spark.createDataFrame(
+        intervals, "user_id long, interval_id long, start timestamp, end timestamp"
+    )
+    got = {
+        (r["event_id"], r["interval_id"])
+        for r in temporal.interval_join(pdf, idf, bucket_s=64).collect()
+    }
+    assert got == want
+
+
 def test_cache_scope_releases_operator_persists(spark):
     """The dedup-family internal persists are intentionally leaked to
     LRU by default; cache_scope must release them eagerly on exit

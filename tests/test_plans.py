@@ -1,0 +1,97 @@
+"""Plan-quality regression gates: the physical plans must keep the
+properties PLANS.md documents. These assert plan SHAPE (which join
+strategies appear), not timings -- cheap and stable across runs."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_asof_join_plan_has_no_join_operator(spark):
+    """The as-of join compiles to union + window -- ZERO join nodes
+    (the naive formulation plans a BroadcastNestedLoopJoin)."""
+    from structured_data_entity_extraction_spark.ops import temporal
+
+    base = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(1, 1, base)], "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, base, 1.0)], "user_id long, ts timestamp, value double"
+    )
+    p = _plan(temporal.asof_join(left, right))
+    assert "Join" not in p
+    assert "Window" in p
+
+
+def test_interval_join_plan_is_keyed_not_nested_loop(spark):
+    """The range join must plan a keyed equi-join (hash/broadcast-hash),
+    never BroadcastNestedLoopJoin -- the whole point of the bucket
+    explode."""
+    from structured_data_entity_extraction_spark.ops import temporal
+
+    base = dt.datetime(2024, 1, 1)
+    points = spark.createDataFrame(
+        [(1, 1, base)], "event_id long, user_id long, ts timestamp"
+    )
+    intervals = spark.createDataFrame(
+        [(1, 9, base, base + dt.timedelta(minutes=5))],
+        "user_id long, interval_id long, start timestamp, end timestamp",
+    )
+    p = _plan(temporal.interval_join(points, intervals))
+    assert "NestedLoopJoin" not in p and "CartesianProduct" not in p
+    assert "Join" in p  # it IS a join -- just a keyed one
+
+
+def test_top_orders_plan_uses_take_ordered(spark):
+    """Top-k must be TakeOrderedAndProject (per-partition heap), not a
+    single-partition global window sort."""
+    import __spark_entry__ as entry
+
+    p = _plan(entry.q_top_orders_by_lines(spark, SF))
+    assert "TakeOrderedAndProject" in p
+
+
+def test_decontam_plan_broadcasts_benchmark(spark):
+    """The benchmark shingle side must broadcast -- no shuffle of the
+    corpus on content, no nested-loop join."""
+    import __spark_entry__ as entry
+
+    p = _plan(entry.q_decontam_report(spark, SF))
+    assert "NestedLoopJoin" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_link_mentions_plan_has_no_pyspark_ml(spark):
+    """VERDICT r2 #1 'done' criterion: the LSH link stage is native --
+    the plan contains no pyspark.ml fit/transform artifacts (those
+    show up as extra Python UDF nodes beyond the single extraction
+    pUDF)."""
+    from structured_data_entity_extraction_spark import codekg
+    from structured_data_entity_extraction_spark.fixtures import repos_src_rows
+    from structured_data_entity_extraction_spark.schemas import REPOS_SRC
+
+    rows = repos_src_rows(60, seed=7)
+    df = spark.createDataFrame(
+        [(r["repo"], r["path"], r["commit"], r["lang"], r["content"]) for r in rows],
+        REPOS_SRC,
+    )
+    mentions = codekg.extract_code_mentions(df)
+    cands = codekg.link_mentions(mentions, codekg.code_alias_dim(spark), use_lsh=True)
+    p = _plan(cands)
+    # the ONLY Python boundary is the extraction pUDF (it reprints once
+    # per consumer subtree at PLAN level; the pipeline persists it so it
+    # runs once). The md5/banding LSH itself adds ZERO Python nodes --
+    # the retired ml variant carried its own tokenizer/hash UDFs.
+    for line in p.splitlines():
+        if "EvalPython" in line:
+            assert "extract_code_udf" in line, line
+    assert "BatchEvalPython" not in p  # no row-at-a-time UDF ever
