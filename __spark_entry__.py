@@ -385,6 +385,39 @@ def q_entity_cooccurrence(spark, sf_dir):
     return codekg.entity_cooccurrence(triples, pred="imports").orderBy("src", "dst")
 
 
+def q_value_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per group (Spark `percentile` ==
+    DuckDB `quantile_cont`, both linear on p*(n-1))."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+            F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_customer_quartiles(spark, sf_dir):
+    """Window-analytics family: ntile quartile + cume_dist + lag over a
+    fully-tiebroken per-nation ordering."""
+    from pyspark.sql import Window
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.round(F.lag("c_acctbal").over(w), 2).alias("prev_bal"),
+    ).orderBy("c_custkey")
+
+
 def q_asof_join(spark, sf_dir):
     """As-of join: every event annotated with the most recent purchase
     value at-or-before its timestamp (per user). Single-shuffle
@@ -521,6 +554,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_cooccurrence": q_entity_cooccurrence,
         "asof_join_last_purchase": q_asof_join,
         "interval_join_signup_window": q_interval_join,
+        "value_percentiles": q_value_percentiles,
+        "customer_quartiles": q_customer_quartiles,
         # golden-fixture oracles (reference-derived / pure-Python twin
         # parquet, committed at build time -- tools/make_goldens.py)
         "avaluo_triples": q_avaluo_triples,
@@ -932,6 +967,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS hour, event_type,
                    count(*) AS n_events, round(sum(value), 2) AS total_value
             FROM events GROUP BY 1, 2 ORDER BY hour, event_type
+        """,
+        "value_percentiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.5), 6) AS p50,
+                   round(quantile_cont(value, 0.9), 6) AS p90,
+                   round(quantile_cont(value, 0.99), 6) AS p99
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "customer_quartiles": """
+            SELECT c_custkey, c_nationkey,
+                   ntile(4) OVER w AS quartile,
+                   round(cume_dist() OVER w, 6) AS cd,
+                   round(lag(c_acctbal) OVER w, 2) AS prev_bal
+            FROM customer
+            WINDOW w AS (PARTITION BY c_nationkey
+                         ORDER BY c_acctbal DESC, c_custkey ASC)
+            ORDER BY c_custkey
         """,
         "asof_join_last_purchase": """
             WITH r AS (
