@@ -43,7 +43,12 @@ def asof_join(
     The right side is first collapsed to one row per (key, ts) --
     max per value column -- so the result is deterministic even with
     duplicate right timestamps; the oracle twin applies the identical
-    collapse."""
+    collapse.
+
+    NULL semantics: a right row whose value is NULL does not update the
+    running state (last ignorenulls) -- the previous non-null value
+    persists. Filter or impute the right side first if a NULL should
+    overwrite."""
     r = right.groupBy(key, ts).agg(*[F.max(c).alias(c) for c in value_cols])
     lt = left.withColumn("_side", F.lit(1))
     rt = r.withColumn("_side", F.lit(0))
