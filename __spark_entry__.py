@@ -677,8 +677,10 @@ def _simhash_pairs_sql(max_hamming: int = 3) -> str:
     """ANSI-SQL twin of ops/dedup.simhash_pairs: 64-bit simhash per doc
     (md5 of each whitespace token, bit i weighted +-1, sign -> bit),
     4x16-bit band candidate generation, exact popcount filter. Token
-    stream matches Python's str.split(): lower, trim, split on \\s+,
-    empty tokens dropped (zero-token docs get sim = 0 unsigned)."""
+    stream: lower, trim, split on RE2 \\s+ ([ \\t\\n\\f\\r] -- the
+    Python kernel uses the identical ASCII class, NOT str.split()'s
+    unicode whitespace), empty tokens dropped (zero-token docs get
+    sim = 0 unsigned)."""
     acc_cols = ",\n             ".join(
         f"sum(CASE WHEN (hv >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS a{i}"
         for i in range(64)

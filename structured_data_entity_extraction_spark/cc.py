@@ -91,23 +91,35 @@ def connected_components(
         rows = [(n, find(n)) for n in parent]
         if stats is not None:
             stats.update({"method": "driver", "rounds": 1})
-        return edges.sparkSession.createDataFrame(rows, ["node", "component"])
+        # schema derived from the edge id type: an empty row list (no
+        # edges at all -- e.g. a corpus with zero near-dup pairs) can't
+        # infer one and would raise
+        id_type = edges.schema[src].dataType
+        from pyspark.sql import types as T
 
-    if method == "star":
-        labels = _cc_two_phase(sym, max_iter, stats)
-    else:
-        rounds = minlabel_rounds if method == "auto" else max_iter
-        labels = _cc_min_label(sym, rounds, stats)
-        if labels is None:  # unconverged: deep graph
-            if method == "minlabel":
-                sym.unpersist()
-                raise RuntimeError(
-                    f"min-label CC did not converge in {rounds} rounds "
-                    "(component diameter exceeds max_iter); use "
-                    'method="star" or raise max_iter'
-                )
+        schema = T.StructType(
+            [T.StructField("node", id_type), T.StructField("component", id_type)]
+        )
+        return edges.sparkSession.createDataFrame(rows, schema)
+
+    try:
+        if method == "star":
             labels = _cc_two_phase(sym, max_iter, stats)
-    sym.unpersist()  # labels are localCheckpoint'ed, independent of sym
+        else:
+            rounds = minlabel_rounds if method == "auto" else max_iter
+            labels = _cc_min_label(sym, rounds, stats)
+            if labels is None:  # unconverged: deep graph
+                if method == "minlabel":
+                    raise RuntimeError(
+                        f"min-label CC did not converge in {rounds} rounds "
+                        "(component diameter exceeds max_iter); use "
+                        'method="star" or raise max_iter'
+                    )
+                labels = _cc_two_phase(sym, max_iter, stats)
+    finally:
+        # labels are localCheckpoint'ed, independent of sym; also runs
+        # on the non-convergence raise paths so the persist never leaks
+        sym.unpersist()
     return labels
 
 

@@ -442,6 +442,23 @@ def entity_cooccurrence(triples: DataFrame, pred: str = "imports") -> DataFrame:
     )
 
 
+def _is_hex(col: str):
+    """True when the column is canonical lowercase hex of whole bytes
+    (the sha256 ids this pipeline mints) -- only then does the binary
+    round-trip restore the exact original string."""
+    return F.col(col).rlike("^(?:[0-9a-f]{2})+$")
+
+
+def _hex_pack(col: str):
+    return F.when(_is_hex(col), F.unhex(col)).otherwise(F.encode(col, "UTF-8"))
+
+
+def _hex_unpack(bcol: str, flag: str):
+    return F.when(F.col(flag), F.lower(F.hex(bcol))).otherwise(
+        F.decode(F.col(bcol), "UTF-8")
+    )
+
+
 def build_triples(candidates: DataFrame, nodes: DataFrame) -> DataFrame:
     """candidates + canonical nodes -> (subj, pred, obj) triples.
 
@@ -466,7 +483,11 @@ def build_triples(candidates: DataFrame, nodes: DataFrame) -> DataFrame:
     of the row (64 hex chars each), and since the keys are mostly
     unique the exchange carries every row -- halving those columns
     shrinks shuffle bytes ~25% (A/B-measured 10-19% wall on the 17M
-    corpus at 8 cores, identical output)."""
+    corpus at 8 cores, identical output). Ids that are NOT canonical
+    lowercase hex (this is a public API; callers pass synthetic ids in
+    tests) take a UTF-8-bytes fallback with the encoding flag kept IN
+    the grouping key, so mixed-encoding ids can never collide or get
+    silently re-cased."""
     pred = (
         F.when(F.col("field") == "import", F.lit("imports"))
         .when(F.col("field") == "def", F.lit("declares_function"))
@@ -495,32 +516,35 @@ def build_triples(candidates: DataFrame, nodes: DataFrame) -> DataFrame:
             "left",
         )
         .select(
-            F.unhex("doc_id").alias("_doc_id_b"),
+            _hex_pack("doc_id").alias("_doc_id_b"),
+            _is_hex("doc_id").alias("_doc_hex"),
             pred.alias("pred"),
             F.coalesce("node_canonical", "value").alias("obj"),
             "repo",
             "repo_bucket",
             "lang",
-            F.unhex("content_sha").alias("_content_sha_b"),
+            _hex_pack("content_sha").alias("_content_sha_b"),
+            _is_hex("content_sha").alias("_sha_hex"),
             F.coalesce("score", F.lit(1.0)).alias("conf"),
         )
-        .groupBy("_doc_id_b", "pred", "obj")
+        .groupBy("_doc_id_b", "_doc_hex", "pred", "obj")
         .agg(
             F.max("repo").alias("repo"),
             F.max("repo_bucket").alias("repo_bucket"),
             F.max("lang").alias("lang"),
             F.max("_content_sha_b").alias("_content_sha_b"),
+            F.max("_sha_hex").alias("_sha_hex"),
             F.max("conf").alias("conf"),
         )
         .select(
-            F.lower(F.hex("_doc_id_b")).alias("subj"),
+            _hex_unpack("_doc_id_b", "_doc_hex").alias("subj"),
             "pred",
             "obj",
-            F.lower(F.hex("_doc_id_b")).alias("doc_id"),
+            _hex_unpack("_doc_id_b", "_doc_hex").alias("doc_id"),
             "repo",
             "repo_bucket",
             "lang",
-            F.lower(F.hex("_content_sha_b")).alias("content_sha"),
+            _hex_unpack("_content_sha_b", "_sha_hex").alias("content_sha"),
             "conf",
         )
     )

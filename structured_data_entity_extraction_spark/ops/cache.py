@@ -27,34 +27,42 @@ import threading
 from pyspark import StorageLevel
 from pyspark.sql import DataFrame
 
-_scopes: list[list[DataFrame]] = []
-_lock = threading.Lock()
+# thread-LOCAL scope stack: two threads sweeping different corpora on
+# one driver each get their own stack, so thread A's persists never
+# land in (and get released by) thread B's scope
+_tls = threading.local()
+
+
+def _stack() -> list[list[DataFrame]]:
+    if not hasattr(_tls, "scopes"):
+        _tls.scopes = []
+    return _tls.scopes
 
 
 def persist_tracked(
     df: DataFrame, level: StorageLevel = StorageLevel.MEMORY_AND_DISK
 ) -> DataFrame:
     """persist() that registers the frame with the innermost active
-    cache_scope (no-op registration when none is active -- the r2
-    leak-to-LRU behavior)."""
+    cache_scope OF THIS THREAD (no-op registration when none is active
+    -- the r2 leak-to-LRU behavior)."""
     df = df.persist(level)
-    with _lock:
-        if _scopes:
-            _scopes[-1].append(df)
+    scopes = _stack()
+    if scopes:
+        scopes[-1].append(df)
     return df
 
 
 @contextlib.contextmanager
 def cache_scope():
-    """Release every persist_tracked frame created inside the block on
-    exit (also on error). Yields the live list for inspection."""
+    """Release every persist_tracked frame created inside the block (in
+    this thread) on exit (also on error). Yields the live list for
+    inspection."""
     frames: list[DataFrame] = []
-    with _lock:
-        _scopes.append(frames)
+    scopes = _stack()
+    scopes.append(frames)
     try:
         yield frames
     finally:
-        with _lock:
-            _scopes.remove(frames)
+        scopes.remove(frames)
         for df in frames:
             df.unpersist()

@@ -36,27 +36,30 @@ def contamination_report(
     bench_sh = (
         benchmark.select(F.explode(shingles_col(F.col(text_col), k)).alias("shingle"))
         .distinct()
+        .withColumn("_hit", F.lit(1))
     )
-    corp_sh = corpus.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(shingles_col(F.col(text_col), k)).alias("shingle"),
+    # ONE shingling pass over the corpus: carry the per-doc shingle
+    # count through the explode, flag hits with a broadcast left join,
+    # and fold count + hits in a single aggregation (every doc has >= 1
+    # shingle, so every doc survives the explode + groupBy)
+    ex = corpus.select(
+        F.col(id_col).alias("doc_id"), shingles_col(F.col(text_col), k).alias("_sh")
+    ).select(
+        "doc_id", F.size("_sh").alias("_n"), F.explode("_sh").alias("shingle")
     )
-    hits = (
-        corp_sh.join(F.broadcast(bench_sh), "shingle", "left_semi")
+    return (
+        ex.join(F.broadcast(bench_sh), "shingle", "left")
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_hits"))
-    )
-    sizes = corpus.select(
-        F.col(id_col).alias("doc_id"),
-        F.size(shingles_col(F.col(text_col), k)).alias("n_shingles"),
-    )
-    return sizes.join(hits, "doc_id", "left").select(
-        "doc_id",
-        "n_shingles",
-        F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
-        F.round(
-            F.coalesce("n_hits", F.lit(0)) / F.col("n_shingles"), 6
-        ).alias("contamination"),
+        .agg(
+            F.max("_n").alias("n_shingles"),
+            F.sum(F.coalesce("_hit", F.lit(0))).cast("long").alias("n_hits"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_hits",
+            F.round(F.col("n_hits") / F.col("n_shingles"), 6).alias("contamination"),
+        )
     )
 
 

@@ -259,9 +259,22 @@ def _simhash_np(tokens: list[str]) -> int:
     return int((setbits << shifts).sum(dtype=np.uint64)) - (1 << 63)
 
 
+# tokenizer matching the DuckDB oracle's RE2 \s exactly ([ \t\n\f\r]):
+# Python's str.split() would also split on unicode whitespace (U+00A0,
+# U+2028, \x1c-\x1f, \v), silently diverging from the SQL twin on
+# scraped text
+import re as _re
+
+_RE2_WS = _re.compile(r"[ \t\n\f\r]+")
+
+
+def _simhash_tokens(text: str) -> list[str]:
+    return [t for t in _RE2_WS.split((text or "").lower()) if t]
+
+
 @pandas_udf(T.LongType())
 def simhash_udf(texts: pd.Series) -> pd.Series:
-    return texts.map(lambda t: _simhash_np((t or "").lower().split()))
+    return texts.map(lambda t: _simhash_np(_simhash_tokens(t)))
 
 
 def simhash_pairs(

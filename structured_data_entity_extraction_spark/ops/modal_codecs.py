@@ -241,6 +241,8 @@ def encode_y4m(
 ) -> bytes:
     """Minimal Y4M encoder (chroma planes neutral 0x80) -- used by the
     synthetic-asset generator so video decode tests run on real Y4M."""
+    if cspace not in _Y4M_PLANES:
+        raise CodecError(f"unsupported Y4M colorspace C{cspace}")
     _luma, cx, cy = _Y4M_PLANES[cspace]
     chroma = bytes([0x80]) * (2 * (width // cx) * (height // cy)) if cx else b""
     cname = {"420": "420jpeg", "422": "422", "444": "444", "mono": "mono"}[cspace]
@@ -281,10 +283,15 @@ def image_feature(data: bytes) -> list[float]:
 
 
 def video_feature(data: bytes) -> list[float]:
-    """16-dim real video feature: mean luma per temporal slice (frames
-    bucketed into 16 equal time slices), [0, 1]. Decodes actual Y4M
-    frames."""
-    vid = decode_y4m(data)
+    """16-dim real video feature from raw bytes (decode + compute)."""
+    return video_feature_from(decode_y4m(data))
+
+
+def video_feature_from(vid: dict) -> list[float]:
+    """16-dim real video feature from an ALREADY-decoded Y4M dict --
+    mean luma per temporal slice (frames bucketed into 16 equal time
+    slices), [0, 1]. Split from video_feature so the extraction hot
+    path decodes each payload exactly once."""
     frames = vid["y_planes"]
     if not frames:
         return [0.0] * FEATURE_DIM

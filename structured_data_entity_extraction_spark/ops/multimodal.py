@@ -38,7 +38,7 @@ from .modal_codecs import (
     encode_wav,
     encode_y4m,
     image_feature,
-    video_feature,
+    video_feature_from,
 )
 
 ASSET_SCHEMA = T.StructType(
@@ -107,7 +107,7 @@ def _extract_one(kind: str, data: bytes) -> dict:
         elif kind == "video":
             vid = decode_video(data)
             out["dec_width"], out["dec_height"] = vid["width"], vid["height"]
-            out["feature"] = video_feature(data)
+            out["feature"] = video_feature_from(vid)  # no second decode
         else:
             out["feature"] = _fake_feature(data)
     except Exception as e:  # noqa: BLE001 -- fault boundary (CodecError etc.)
@@ -145,7 +145,9 @@ def extract_features(assets: DataFrame) -> DataFrame:
 def sample_frames(assets: DataFrame, every_n: int = 2) -> DataFrame:
     """Frame sampling for video assets: decode the Y4M container, keep
     every n-th REAL frame's luma plane. Undecodable payloads yield a
-    single frame_idx=-1 row with null bytes (fault-row contract)."""
+    single frame_idx=-1 row with null bytes (fault-row contract); a
+    VALID zero-frame video yields zero rows (explode semantics --
+    empty, not faulty)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -184,6 +184,32 @@ def test_determinism(spark, repos_df, tmp_path):
     assert sa == sb
 
 
+def test_build_triples_non_hex_ids_roundtrip(spark):
+    """Regression (r3 review): the binary-shuffle optimization must not
+    corrupt non-sha ids -- canonical-hex, mixed-case-hex and plain
+    string ids all round-trip exactly and never merge."""
+    cand_rows = [
+        # (doc_id, repo, repo_bucket, lang, content_sha, field, value)
+        ("d1", "r", 0, "python", "ab", "import", "numpy"),
+        ("D1", "r", 0, "python", "AB", "import", "numpy"),
+        ("doc-x", "r", 0, "python", "not-hex", "import", "numpy"),
+    ]
+    cands = spark.createDataFrame(
+        cand_rows,
+        "doc_id string, repo string, repo_bucket int, lang string, "
+        "content_sha string, field string, value string",
+    ).withColumn("score", F.lit(1.0)).withColumn("canonical", F.col("value"))
+    nodes = spark.createDataFrame(
+        [("numpy", "e", "numpy")], "surface string, entity_id string, canonical string"
+    )
+    out = codekg.build_triples(cands, nodes)
+    doc_rows = {
+        r["doc_id"]: r["content_sha"]
+        for r in out.filter(F.col("pred") == "imports").collect()
+    }
+    assert doc_rows == {"d1": "ab", "D1": "AB", "doc-x": "not-hex"}
+
+
 def test_lsh_links_near_aliases(spark):
     """MinHash-LSH blocking links a near-miss surface form to its dim
     canonical (L6)."""

@@ -348,6 +348,30 @@ def test_entity_cooccurrence_counts(spark):
     }
 
 
+def test_dedup_near_with_zero_pairs(spark):
+    """Regression (r3 review): an EMPTY pair frame must flow through
+    near_dup_groups/dedup_near (CC on zero edges) without the driver
+    fast path choking on schema inference."""
+    docs = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    assert dedup.near_dup_groups(pairs).count() == 0
+    assert dedup.dedup_near(docs, pairs).count() == docs.count()
+
+
+def test_sample_frames_zero_frame_video(spark):
+    """A VALID zero-frame Y4M yields zero frame rows (empty, not
+    faulty); garbage still yields the frame_idx=-1 fault row."""
+    from structured_data_entity_extraction_spark.ops.modal_codecs import encode_y4m
+
+    rows = [
+        ("empty", "video", encode_y4m(4, 4, []), None, None, None, 0),
+        ("bad", "video", b"\x00\x01", None, None, None, None),
+    ]
+    df = spark.createDataFrame(rows, multimodal.ASSET_SCHEMA)
+    got = {r["asset_id"]: r["frame_idx"] for r in multimodal.sample_frames(df).collect()}
+    assert got == {"bad": -1}
+
+
 def test_asof_join_planted(spark):
     """Tie at equal ts takes the right row; duplicate right timestamps
     collapse deterministically (max); no prior right row -> NULL;
