@@ -385,6 +385,52 @@ def q_entity_cooccurrence(spark, sf_dir):
     return codekg.entity_cooccurrence(triples, pred="imports").orderBy("src", "dst")
 
 
+def q_deterministic_sample(spark, sf_dir):
+    """Partitioning-independent 20% sample via md5-threshold keys."""
+    from structured_data_entity_extraction_spark.ops import sampling
+
+    return (
+        sampling.deterministic_sample(_docs(spark, sf_dir), 0.2)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Per-class deterministic rebalancing: keep all purchases, half
+    the clicks, a tenth of the views, drop the rest."""
+    from structured_data_entity_extraction_spark.ops import sampling
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = sampling.stratified_sample(
+        ev,
+        {"purchase": 1.0, "click": 0.5, "view": 0.1},
+        stratum_col="event_type",
+        key_col="event_id",
+    )
+    return out.select("event_id", "event_type").orderBy("event_id")
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII masking over docs with deterministically planted email/IP/
+    phone; the scrubbed text is hash-compared via md5."""
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com via 10.0."),
+            (F.col("doc_id") % F.lit(200)).cast("string"),
+            F.lit(".7 or +5215512345678"),
+        ).alias("text"),
+    )
+    out = textstats.pii_scrub(docs)
+    return out.select(
+        "doc_id", "n_email", "n_ipv4", "n_phone", F.md5("scrubbed").alias("scrub_md5")
+    ).orderBy("doc_id")
+
+
 def q_value_percentiles(spark, sf_dir):
     """Exact interpolated percentiles per group (Spark `percentile` ==
     DuckDB `quantile_cont`, both linear on p*(n-1))."""
@@ -556,6 +602,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "interval_join_signup_window": q_interval_join,
         "value_percentiles": q_value_percentiles,
         "customer_quartiles": q_customer_quartiles,
+        "deterministic_sample_docs": q_deterministic_sample,
+        "stratified_sample_events": q_stratified_sample,
+        "pii_scrub_counts": q_pii_scrub,
         # golden-fixture oracles (reference-derived / pure-Python twin
         # parquet, committed at build time -- tools/make_goldens.py)
         "avaluo_triples": q_avaluo_triples,
@@ -969,6 +1018,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS hour, event_type,
                    count(*) AS n_events, round(sum(value), 2) AS total_value
             FROM events GROUP BY 1, 2 ORDER BY hour, event_type
+        """,
+        "deterministic_sample_docs": """
+            SELECT doc_id FROM documents
+            WHERE ('0x' || substring(md5(doc_id::VARCHAR), 1, 8))::UBIGINT
+                  / 4294967296.0 < 0.2
+            ORDER BY doc_id
+        """,
+        "stratified_sample_events": """
+            SELECT event_id, event_type FROM events
+            WHERE ('0x' || substring(md5(event_id::VARCHAR), 1, 8))::UBIGINT
+                  / 4294967296.0
+                  < CASE event_type WHEN 'purchase' THEN 1.0
+                                    WHEN 'click' THEN 0.5
+                                    WHEN 'view' THEN 0.1 ELSE 0.0 END
+            ORDER BY event_id
+        """,
+        "pii_scrub_counts": r"""
+            WITH planted AS (
+              SELECT doc_id,
+                     text || ' contact user' || doc_id::VARCHAR ||
+                     '@example.com via 10.0.' || (doc_id % 200)::VARCHAR ||
+                     '.7 or +5215512345678' AS t
+              FROM documents
+            )
+            SELECT doc_id,
+                   len(regexp_extract_all(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+                   len(regexp_extract_all(t,
+                       '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS n_ipv4,
+                   len(regexp_extract_all(t, '\+\d{7,15}')) AS n_phone,
+                   md5(regexp_replace(regexp_replace(regexp_replace(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                       '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+                       '\+\d{7,15}', '<PHONE>', 'g')) AS scrub_md5
+            FROM planted ORDER BY doc_id
         """,
         "value_percentiles": """
             SELECT event_type,

@@ -155,6 +155,36 @@ def repetition_signals(df: DataFrame, text_col: str = "text", id_col: str = "doc
     return base.drop("_toks").join(top, "doc_id")
 
 
+# PII scrub patterns: conservative, dialect-portable regexes (identical
+# semantics under Java regex and RE2 -- ASCII \d, \b, non-capturing
+# groups only), applied in list order. Counts are measured on the
+# ORIGINAL text; replacements chain on the running scrubbed text.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d{7,15}", "<PHONE>"),
+]
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document PII masking for training corpora: returns
+    (doc_id, n_email, n_ipv4, n_phone, scrubbed). Pure built-ins
+    (regexp_extract_all / chained regexp_replace) -- codegen, no
+    Python, no shuffle; SQL oracle twin applies the same patterns in
+    the same order."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    counts = [
+        F.size(F.regexp_extract_all(t, F.lit(rx), F.lit(0))).alias(f"n_{name}")
+        for name, rx, _ in PII_PATTERNS
+    ]
+    scrubbed = t
+    for _name, rx, token in PII_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, rx, token)
+    return df.select(
+        F.col(id_col).alias("doc_id"), *counts, scrubbed.alias("scrubbed")
+    )
+
+
 def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.col(text_col)
     return lang_id(

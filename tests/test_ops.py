@@ -348,6 +348,47 @@ def test_entity_cooccurrence_counts(spark):
     }
 
 
+def test_deterministic_sample_partition_invariant(spark):
+    """The md5-threshold sample keeps the SAME rows regardless of
+    partitioning (df.sample would not); stratified keeps every row of a
+    1.0 stratum and none of an unlisted one."""
+    from structured_data_entity_extraction_spark.ops import sampling
+
+    rows = [(i, ["a", "b", "c"][i % 3]) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, stratum string")
+    keep1 = {r["doc_id"] for r in sampling.deterministic_sample(df.repartition(7), 0.3, "doc_id").collect()}
+    keep2 = {r["doc_id"] for r in sampling.deterministic_sample(df.coalesce(1), 0.3, "doc_id").collect()}
+    assert keep1 == keep2 and 0.15 < len(keep1) / 300 < 0.45
+    strat = {
+        r["doc_id"]
+        for r in sampling.stratified_sample(
+            df, {"a": 1.0, "b": 0.5}, stratum_col="stratum", key_col="doc_id"
+        ).collect()
+    }
+    assert {i for i, s in rows if s == "a"} <= strat  # 1.0 stratum: all kept
+    assert not any(s == "c" for i, s in rows if i in strat)  # default 0.0: dropped
+    # independent salts: overlap of two 0.3 samples well under the 0.3
+    # self-overlap a shared decision would produce
+    alt = {r["doc_id"] for r in sampling.deterministic_sample(df, 0.3, "doc_id", salt="x").collect()}
+    assert len(keep1 & alt) < len(keep1)
+
+
+def test_pii_scrub_planted(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@ex-1.org then 192.168.1.17 then +4917212345678 done"),
+            (2, "clean text with no pii at all"),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in textstats.pii_scrub(df).collect()}
+    assert (got[1]["n_email"], got[1]["n_ipv4"], got[1]["n_phone"]) == (1, 1, 1)
+    assert got[1]["scrubbed"] == "mail <EMAIL> then <IP> then <PHONE> done"
+    assert got[2]["scrubbed"] == "clean text with no pii at all"
+    assert (got[3]["n_email"], got[3]["scrubbed"]) == (0, "")
+
+
 def test_dedup_near_with_zero_pairs(spark):
     """Regression (r3 review): an EMPTY pair frame must flow through
     near_dup_groups/dedup_near (CC on zero edges) without the driver
