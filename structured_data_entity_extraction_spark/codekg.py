@@ -321,15 +321,15 @@ def link_mentions(
     if not use_lsh:
         return dict_hits
 
+    # no isEmpty() fast-path probe: it cost a full extra action over the
+    # mention stream per call, while the LSH subtree on an empty miss
+    # set is just empty joins (near-free) and the left rejoin is a no-op
     misses = (
         dict_hits.filter(F.col("canonical").isNull() & (F.col("field") == "import"))
         .select("value")
         .distinct()
         .filter(F.length("value") >= 2)
     )
-    if misses.isEmpty():
-        return dict_hits
-
     lsh_map = lsh_alias_map(misses, alias_dim, threshold=lsh_threshold)
     return (
         dict_hits.join(F.broadcast(lsh_map), "value", "left")
