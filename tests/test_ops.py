@@ -738,3 +738,13 @@ def test_minhash_pairs_subset_of_exact_with_equal_jaccard(spark, docs_df):
     assert set(lsh) <= set(exact)
     for k, v in lsh.items():
         assert v == exact[k], (k, v, exact[k])
+
+
+def test_driver_contract_key_parity():
+    """Every queries() entry has an oracle_sql() twin and vice versa --
+    the driver's correctness gate covers the full registered surface
+    (no silent rows-only checks)."""
+    import __spark_entry__ as entry
+
+    q, o = set(entry.queries()), set(entry.oracle_sql())
+    assert q == o, q ^ o

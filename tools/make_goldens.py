@@ -8,11 +8,12 @@ oracle hash-check the two flagship KG queries (VERDICT.md next-round #1).
   Independent of every Spark code path.
 
 - ``codekg_triples.parquet`` -- the expected output of
-  ``q_codekg_triples`` (repos_src_rows(400, seed=42), use_lsh=False),
+  ``q_codekg_triples`` (repos_src_rows(400, seed=42), use_lsh=True),
   computed by a pure-Python single-process twin of the pipeline:
-  same extraction kernel, but dict linking / union-find
-  canonicalization / dedup re-implemented without Spark, so the
-  fixture validates the join + CC + dedup plumbing end to end.
+  same extraction kernel, but dict linking / native-MinHash-LSH fuzzy
+  linking / union-find canonicalization / dedup re-implemented without
+  Spark, so the fixture validates the join + LSH + CC + dedup plumbing
+  end to end.
 
 Run from the repo root (needs /root/reference present):
     python tools/make_goldens.py
