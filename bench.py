@@ -83,13 +83,27 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict, dict]:
         "avaluo_triples": run_avaluo,
         "codekg_triples": run_codekg,
     }
-    timings: dict = {}
+    # burst resistance (VERDICT r3 #1): this VM is shared -- co-tenant
+    # load bursts inflate single runs 2-4x, so one-shot timings measure
+    # the neighbors, not the engine. Run REPEATS interleaved rounds of
+    # the full query list and score the BEST per query: interleaving
+    # exposes every query to the same background conditions; best-of
+    # filters the bursts (the protocol tools/scaling_phases.py already
+    # uses). Each timed run recomputes from scratch -- cache_scope
+    # releases every operator-internal persist between runs.
+    from structured_data_entity_extraction_spark.ops.cache import cache_scope
+
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    samples: dict[str, list[float]] = {name: [] for name in plan}
     counts: dict = {}
-    for name, fn in plan.items():
-        t0 = time.time()
-        counts[name] = fn(spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
-    return timings, counts
+    for _round in range(repeats):
+        for name, fn in plan.items():
+            with cache_scope():
+                t0 = time.time()
+                counts[name] = fn(spark, sf_dir).count()
+                samples[name].append(round(time.time() - t0, 3))
+    timings = {name: min(ts) for name, ts in samples.items()}
+    return timings, counts, samples
 
 
 def run(master: str, sf_dir: str) -> dict:
@@ -98,20 +112,28 @@ def run(master: str, sf_dir: str) -> dict:
     spark = get_spark("bench", master=master)
     spark.sparkContext.setLogLevel("ERROR")
     t0 = time.time()
-    timings, counts = bench_queries(spark, sf_dir)
+    timings, counts, samples = bench_queries(spark, sf_dir)
     wall = round(time.time() - t0, 3)
     total = round(sum(timings.values()), 3)
+    medians = {n: round(sorted(ts)[len(ts) // 2], 3) for n, ts in samples.items()}
+    total_median = round(sum(medians.values()), 3)
     kg_triples = counts["avaluo_triples"] + counts["codekg_triples"]
     kg_secs = timings["avaluo_triples"] + timings["codekg_triples"]
     out = {
         "metric": "headline_queries_total",
-        "value": total,
+        "value": total,  # sum of per-query best-of over interleaved rounds
         "unit": "sec",
-        "queries": timings,
+        "queries": timings,  # best-of per query
         "sf": sf_dir,
         "master": master,
         "row_counts": counts,
-        "wall_total_s": wall,  # includes input prep + untimed warmup
+        "bench_repeats": len(next(iter(samples.values()))),
+        "queries_median": medians,
+        "queries_all": samples,  # every sample, per interleaved round
+        # >1.3 means the box was bursty during the run; the best-of
+        # totals remain comparable round-over-round regardless
+        "median_over_best": round(total_median / total, 3) if total else None,
+        "wall_total_s": wall,  # includes input prep + warmup + all rounds
         "kg_triples_per_sec": round(kg_triples / kg_secs, 1) if kg_secs else None,
     }
     spark.stop()

@@ -419,18 +419,37 @@ def build_kg(
     return build_triples(candidates, nodes)
 
 
-def entity_cooccurrence(triples: DataFrame, pred: str = "imports") -> DataFrame:
+def entity_cooccurrence(
+    triples: DataFrame, pred: str = "imports", max_per_doc: int = 256
+) -> DataFrame:
     """KG analytics over the triple table: (src, dst, n_docs) edges
     between canonical entities co-mentioned in the same document under
     ``pred`` (e.g. modules imported together). Per-doc entity lists are
-    small (imports per file), so the doc_id-keyed self-join is bounded;
-    hot entity PAIRS aggregate with map-side combine. src < dst
-    canonicalizes edge direction."""
+    typically small (imports per file) -- but the doc_id self-join is
+    QUADRATIC in per-doc distinct entities, so one generated
+    imports-everything file (lockfile, barrel module) with 2k imports
+    would emit 2M pairs from a single row. ``max_per_doc`` bounds the
+    fanout: each doc contributes only its first N entities (ordered by
+    obj asc -- deterministic and oracle-mirrorable), capping any row's
+    pair output at N*(N-1)/2. Docs the cap truncates are reported by
+    ``cooccurrence_truncation_report`` -- no silent dropping; the
+    DuckDB oracle applies the identical cap. Pass ``max_per_doc=0`` to
+    disable. Hot entity PAIRS aggregate with map-side combine; src <
+    dst canonicalizes edge direction."""
+    from pyspark.sql import Window
+
     e = (
         triples.filter(F.col("pred") == pred)
         .select("doc_id", "obj")
         .distinct()
     )
+    if max_per_doc:
+        w = Window.partitionBy("doc_id").orderBy(F.asc("obj"))
+        e = (
+            e.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= max_per_doc)
+            .drop("_rn")
+        )
     a, b = e.alias("a"), e.alias("b")
     return (
         a.join(
@@ -439,6 +458,23 @@ def entity_cooccurrence(triples: DataFrame, pred: str = "imports") -> DataFrame:
         )
         .groupBy(F.col("a.obj").alias("src"), F.col("b.obj").alias("dst"))
         .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def cooccurrence_truncation_report(
+    triples: DataFrame, pred: str = "imports", max_per_doc: int = 256
+) -> DataFrame:
+    """(doc_id, n_entities) for every doc whose distinct-entity count
+    exceeds ``max_per_doc`` -- the docs whose co-occurrence edges
+    ``entity_cooccurrence`` truncates. Surfacing the cap instead of
+    silently applying it (the ngram_jaccard_pairs df_cap precedent)."""
+    return (
+        triples.filter(F.col("pred") == pred)
+        .select("doc_id", "obj")
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_entities"))
+        .filter(F.col("n_entities") > max_per_doc)
     )
 
 
@@ -532,8 +568,13 @@ def build_triples(candidates: DataFrame, nodes: DataFrame) -> DataFrame:
             F.max("repo").alias("repo"),
             F.max("repo_bucket").alias("repo_bucket"),
             F.max("lang").alias("lang"),
-            F.max("_content_sha_b").alias("_content_sha_b"),
-            F.max("_sha_hex").alias("_sha_hex"),
+            # flag + bytes aggregated as ONE struct so both always come
+            # from the same row: independent maxes could pair a true
+            # flag from one sha with the byte-max of another and
+            # fabricate a value absent from the input (only reachable
+            # via synthetic ids -- content_sha is doc_id-functional in
+            # the real pipeline -- but this is public API)
+            F.max(F.struct(F.col("_sha_hex").alias("f"), F.col("_content_sha_b").alias("b"))).alias("_sha"),
             F.max("conf").alias("conf"),
         )
         .select(
@@ -544,7 +585,9 @@ def build_triples(candidates: DataFrame, nodes: DataFrame) -> DataFrame:
             "repo",
             "repo_bucket",
             "lang",
-            _hex_unpack("_content_sha_b", "_sha_hex").alias("content_sha"),
+            F.when(F.col("_sha.f"), F.lower(F.hex("_sha.b")))
+            .otherwise(F.decode(F.col("_sha.b"), "UTF-8"))
+            .alias("content_sha"),
             "conf",
         )
     )

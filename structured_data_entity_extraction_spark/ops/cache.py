@@ -63,6 +63,11 @@ def cache_scope():
     try:
         yield frames
     finally:
-        scopes.remove(frames)
+        # scopes exit LIFO, so pop by position -- remove() matches by
+        # VALUE and two empty lists compare equal, so a nested inner
+        # scope would pop the OUTER scope's list instead and leak its
+        # subsequent persists
+        popped = scopes.pop()
+        assert popped is frames, "cache_scope stack corrupted"
         for df in frames:
             df.unpersist()

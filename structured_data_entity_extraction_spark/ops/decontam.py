@@ -33,8 +33,18 @@ def contamination_report(
     that appear anywhere in the benchmark and contamination =
     n_hits / n_shingles. Docs with zero hits are included (0.0) --
     the report covers the whole corpus."""
+    # shingles cross the broadcast + join as 8-byte md5-prefix keys, not
+    # full k-gram strings: at k=13 a shingle is ~80 UTF-8 bytes, so the
+    # 64-bit key cuts broadcast and probe-side bytes ~10x; collisions
+    # (~n^2/2^64 for benchmark-shingle-set sizes) are the same odds that
+    # already bound every MinHash band in this engine. The DuckDB twin
+    # joins on the identical substring(md5(shingle), 1, 16) key.
+    def _h(shingle):
+        return F.unhex(F.substring(F.md5(shingle), 1, 16))
+
     bench_sh = (
-        benchmark.select(F.explode(shingles_col(F.col(text_col), k)).alias("shingle"))
+        benchmark.select(F.explode(shingles_col(F.col(text_col), k)).alias("_s"))
+        .select(_h(F.col("_s")).alias("_hkey"))
         .distinct()
         .withColumn("_hit", F.lit(1))
     )
@@ -45,10 +55,10 @@ def contamination_report(
     ex = corpus.select(
         F.col(id_col).alias("doc_id"), shingles_col(F.col(text_col), k).alias("_sh")
     ).select(
-        "doc_id", F.size("_sh").alias("_n"), F.explode("_sh").alias("shingle")
-    )
+        "doc_id", F.size("_sh").alias("_n"), F.explode("_sh").alias("_s")
+    ).select("doc_id", "_n", _h(F.col("_s")).alias("_hkey"))
     return (
-        ex.join(F.broadcast(bench_sh), "shingle", "left")
+        ex.join(F.broadcast(bench_sh), "_hkey", "left")
         .groupBy("doc_id")
         .agg(
             F.max("_n").alias("n_shingles"),

@@ -27,11 +27,22 @@ _DENOM = float(1 << 32)
 
 
 def sample_hash_col(key: Column, salt: str = "") -> Column:
-    """Uniform [0, 1) derived from md5(key || salt): the first 8 hex
-    chars as a 32-bit integer over 2^32. Identical in DuckDB:
-    ('0x' || substring(md5(key || salt), 1, 8))::UBIGINT / 4294967296.
-    """
-    h = F.substring(F.md5(F.concat(key.cast("string"), F.lit(salt))), 1, 8)
+    """Uniform [0, 1) derived from md5(key || '|' || salt): the first 8
+    hex chars as a 32-bit integer over 2^32. Identical in DuckDB:
+    ('0x' || substring(md5(coalesce(key, '') || '|' || salt), 1, 8))
+    ::UBIGINT / 4294967296.
+
+    The explicit '|' separator keeps (key, salt) pairs from aliasing
+    (key 'a' + salt 'bc' vs key 'ab' + salt 'c' hashed identically
+    before). A NULL key coalesces to '' (so NULL-key rows get a real,
+    shared keep-decision instead of a NULL predicate that silently
+    dropped them from every sample) -- use a non-null key column for
+    independent per-row decisions."""
+    h = F.substring(
+        F.md5(F.concat(F.coalesce(key.cast("string"), F.lit("")), F.lit("|" + salt))),
+        1,
+        8,
+    )
     return F.conv(h, 16, 10).cast("double") / F.lit(_DENOM)
 
 

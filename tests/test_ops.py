@@ -47,7 +47,7 @@ def test_token_count_and_fingerprint(spark, docs_df):
     for did, text in DOCS:
         want_n = len(text.split())
         want_fp = min(
-            (hashlib.md5(s.encode()).hexdigest() for s in _py_shingles(text)),
+            (hashlib.md5(s.encode()).hexdigest()[:16] for s in _py_shingles(text)),
             default=None,
         )
         assert out[did][0] == want_n, (did, out[did][0], want_n)
@@ -498,6 +498,13 @@ def test_asof_join_matches_bruteforce_random(spark):
         r["event_id"]: r["value_asof"] for r in temporal.asof_join(ldf, rdf).collect()
     }
     assert got == want
+    # the skew-resistant bucketed path obeys the identical law, with a
+    # bucket small enough that carries chain across many empty buckets
+    got_b = {
+        r["event_id"]: r["value_asof"]
+        for r in temporal.asof_join(ldf, rdf, bucket_s=64).collect()
+    }
+    assert got_b == want
 
 
 def test_interval_join_matches_bruteforce_random(spark):
@@ -553,6 +560,26 @@ def test_cache_scope_releases_operator_persists(spark):
     with cache_scope() as outer:
         pass
     assert outer == []
+
+
+def test_cache_scope_nested_exits_release_correct_scopes(spark):
+    """ADVICE r3: nested scopes whose lists compare EQUAL (e.g. both
+    empty) must still pop their own frame list -- removal by value
+    popped the outer scope's list, leaking outer persists and raising
+    ValueError at outer exit."""
+    from structured_data_entity_extraction_spark.ops.cache import (
+        cache_scope,
+        persist_tracked,
+    )
+
+    df = spark.createDataFrame(DOCS, ["doc_id", "text"])
+    with cache_scope() as outer:
+        with cache_scope() as inner:
+            pass  # inner exits while both lists are [] -- the trap
+        p = persist_tracked(df.select("doc_id"))
+        p.count()
+        assert outer == [p] and inner == []
+    assert not p.is_cached
 
 
 def test_ivf_trained_codebook_beats_seeded_on_clustered(spark):

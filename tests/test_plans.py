@@ -70,6 +70,21 @@ def test_decontam_plan_broadcasts_benchmark(spark):
     assert "BroadcastHashJoin" in p
 
 
+def test_repetition_signals_plan_has_zero_exchange(spark):
+    """VERDICT r3 #3 'done' criterion: the top-token mode is computed
+    per-row (sorted-array max-run fold), so the whole operator is one
+    narrow projection -- NO Exchange anywhere in the plan. The old
+    formulation shuffled the corpus's per-doc-distinct vocabulary."""
+    from structured_data_entity_extraction_spark.ops import textstats
+
+    df = spark.createDataFrame(
+        [(1, "a b b a"), (2, "x x x")], "doc_id long, text string"
+    )
+    p = _plan(textstats.repetition_signals(df))
+    assert "Exchange" not in p
+    assert "Join" not in p
+
+
 def test_link_mentions_plan_has_no_pyspark_ml(spark):
     """VERDICT r2 #1 'done' criterion: the LSH link stage is native --
     the plan contains no pyspark.ml fit/transform artifacts (those

@@ -53,6 +53,19 @@ def main():
 
     qs = entry.queries()
     oracles = entry.oracle_sql()
+    # SINGLE SOURCE for the query-count facts docs reference (README /
+    # COVERAGE.md / verify skill quote this line instead of hard-coding
+    # counts that go stale -- VERDICT r3 #9)
+    n_golden = sum(
+        1 for name in qs if name in oracles and "read_parquet" in oracles[name]
+    )
+    n_sql = sum(
+        1 for name in qs if name in oracles and "read_parquet" not in oracles[name]
+    )
+    print(
+        f"registry: {len(qs)} queries -- {n_sql} ANSI-SQL DuckDB oracles, "
+        f"{n_golden} golden-parquet oracles, {len(qs) - n_sql - n_golden} rows-only"
+    )
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
