@@ -370,17 +370,12 @@ def q_repetition_signals(spark, sf_dir):
 
 def q_entity_cooccurrence(spark, sf_dir):
     """KG analytics: modules imported together (doc-level co-occurrence
-    edges over the canonical triple table). Oracle: SQL self-join over
-    the hash-checked codekg golden parquet."""
+    edges over the canonical triple table). Oracle: pure SQL -- the
+    co-occurrence self-join composed over the full codekg-pipeline SQL
+    (r4; no golden parquet anywhere in the chain)."""
     from structured_data_entity_extraction_spark import codekg
-    from structured_data_entity_extraction_spark.fixtures import repos_src_rows
-    from structured_data_entity_extraction_spark.schemas import REPOS_SRC
 
-    rows = repos_src_rows(400, seed=42)
-    df = spark.createDataFrame(
-        [(r["repo"], r["path"], r["commit"], r["lang"], r["content"]) for r in rows],
-        REPOS_SRC,
-    )
+    df = spark.read.parquet(_REPOS_FIXTURE)
     triples = codekg.build_kg(df, use_lsh=True)
     return codekg.entity_cooccurrence(triples, pred="imports").orderBy("src", "dst")
 
@@ -593,19 +588,17 @@ def q_avaluo_triples(spark, sf_dir):
 
 
 def q_codekg_triples(spark, sf_dir):
-    """North-rule code-KG pipeline on the seeded repos_src corpus, with
-    the native MinHash-LSH fuzzy-link stage IN-PLAN (use_lsh=True): the
-    fixture plants near-miss imports (pandas2, reactjs, tokios,
-    net/https) whose links are hash-checked by the golden twin."""
+    """North-rule code-KG pipeline with the native MinHash-LSH
+    fuzzy-link stage IN-PLAN (use_lsh=True), over the committed input
+    fixture parquet (= repos_src_rows(400, seed=42), parity-tested in
+    tests/test_codekg.py). The fixture plants near-miss imports
+    (pandas2, reactjs, tokios, net/https) whose links the oracle
+    checks. Oracle: since r4 the ENTIRE pipeline -- extraction
+    regexes, dict+LSH linking, recursive-CTE CC, triple dedup -- is a
+    pure DuckDB SQL program over the same parquet (no golden twin)."""
     from structured_data_entity_extraction_spark import codekg
-    from structured_data_entity_extraction_spark.fixtures import repos_src_rows
-    from structured_data_entity_extraction_spark.schemas import REPOS_SRC
 
-    rows = repos_src_rows(400, seed=42)
-    df = spark.createDataFrame(
-        [(r["repo"], r["path"], r["commit"], r["lang"], r["content"]) for r in rows],
-        REPOS_SRC,
-    )
+    df = spark.read.parquet(_REPOS_FIXTURE)
     return (
         codekg.build_kg(df, use_lsh=True)
         .select("subj", "pred", "obj", "doc_id", "repo", "lang", "content_sha", "conf")
@@ -884,6 +877,303 @@ def _lsh_alias_map_sql(threshold: float = 0.5, num_hashes: int = 16) -> str:
         )
         SELECT value, canonical AS lsh_canonical, round(jac, 6) AS lsh_score_r
         FROM ranked WHERE rn = 1 ORDER BY value
+    """
+
+
+_FIXTURE_DIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    "structured_data_entity_extraction_spark", "data", "fixtures",
+)
+_REPOS_FIXTURE = os.path.join(_FIXTURE_DIR, "repos_src_400.parquet")
+
+
+def _codekg_triples_sql() -> str:
+    """Pure-DuckDB twin of the ENTIRE flagship pipeline
+    (codekg.build_kg with use_lsh=True) over the shared input fixture
+    parquet: per-lang anchored extraction regexes, first-occurrence
+    capped identifier mentions, broadcast-dict linking, the
+    MinHash-LSH fuzzy link, recursive-CTE connected-components
+    canonicalization, and the (doc_id, pred, obj) triple dedup --
+    every stage independently re-expressed in SQL (no golden parquet,
+    no builder Python twin). The regex tables are read from
+    codekg.py's own pattern dicts so oracle and engine cannot drift;
+    '(?m)' mirrors the re.MULTILINE flag `_pats` always compiles with
+    (codekg.py:74-78). The 16-minhash r=1 banding joins directly on
+    the minhash (md5(h) equality IS h equality)."""
+    from structured_data_entity_extraction_spark import codekg
+
+    def esc(rx: str) -> str:
+        return "(?m)" + rx.replace("'", "''")
+
+    def field_union(field: str, table: dict) -> str:
+        return " UNION ALL ".join(
+            f"SELECT doc_id, '{field}' AS field, "
+            f"unnest(regexp_extract_all(content, '{esc(rx)}', 1)) AS value "
+            f"FROM src WHERE lang = '{lang}'"
+            for lang, patterns in table.items()
+            for rx in patterns
+        )
+
+    kw = ", ".join(f"'{k}'" for k in sorted(codekg._KEYWORDS))
+    dim = ", ".join(f"('{a}', '{c}')" for a, c in codekg.default_code_alias_rows())
+    ident_rx = r"\b[A-Za-z_][A-Za-z0-9_]{2,}\b"
+    return f"""
+        WITH RECURSIVE src AS (
+          SELECT repo, lang, coalesce(content, '') AS content,
+                 sha256(repo || chr(0) || path || chr(0) || commit) AS doc_id,
+                 sha256(coalesce(content, '')) AS content_sha
+          FROM read_parquet('{_REPOS_FIXTURE}')
+        ),
+        pat_mentions AS (
+          {field_union('import', codekg._IMPORT_PATTERNS)}
+          UNION ALL {field_union('def', codekg._DEF_PATTERNS)}
+          UNION ALL {field_union('class', codekg._CLASS_PATTERNS)}
+          UNION ALL {field_union('config', codekg._CONFIG_PATTERNS)}
+        ),
+        -- shebang: re.match (string start only), value stripped
+        -- (codekg.py:107-109); encoding cookie: first MULTILINE
+        -- search hit (codekg.py:110-112)
+        shebang AS (
+          SELECT doc_id, 'shebang' AS field,
+                 trim(regexp_extract(content, '^#!([^\n]+)', 1)) AS value
+          FROM src WHERE regexp_matches(content, '^#!')
+        ),
+        encoding AS (
+          SELECT doc_id, 'encoding' AS field,
+                 regexp_extract(content, '(?m)^#.*?coding[:=]\\s*([-\\w.]+)', 1) AS value
+          FROM src WHERE regexp_matches(content, '(?m)^#.*?coding[:=]\\s*[-\\w.]+')
+        ),
+        -- distinct identifiers in FIRST-OCCURRENCE order, keyword-
+        -- filtered, capped at 50 per doc (codekg.py:113-123)
+        ident_raw AS (
+          SELECT doc_id,
+                 unnest(regexp_extract_all(content, '{ident_rx}')) AS v,
+                 generate_subscripts(regexp_extract_all(content, '{ident_rx}'), 1) AS ord
+          FROM src
+        ),
+        idents AS (
+          SELECT doc_id, 'ident' AS field, v AS value FROM (
+            SELECT doc_id, v, row_number() OVER (PARTITION BY doc_id ORDER BY min_ord) AS rn
+            FROM (
+              SELECT doc_id, v, min(ord) AS min_ord
+              FROM ident_raw WHERE v NOT IN ({kw})
+              GROUP BY doc_id, v
+            )
+          ) WHERE rn <= 50
+        ),
+        mentions AS (
+          SELECT * FROM pat_mentions
+          UNION ALL SELECT * FROM shebang
+          UNION ALL SELECT * FROM encoding
+          UNION ALL SELECT * FROM idents
+        ),
+        dim(alias, canonical) AS (VALUES {dim}),
+        linked AS (
+          SELECT m.doc_id, m.field, m.value, d.canonical,
+                 CASE WHEN d.canonical IS NOT NULL THEN 1.0 END AS score
+          FROM mentions m LEFT JOIN dim d ON m.value = d.alias
+        ),
+        misses(value) AS (
+          SELECT DISTINCT value FROM linked
+          WHERE canonical IS NULL AND field = 'import' AND length(value) >= 2
+        ),
+        vg AS (
+          SELECT value, substring('^' || value || '$', i, 3) AS g
+          FROM misses
+          LEFT JOIN LATERAL (
+            SELECT unnest(range(1, greatest(length('^' || value || '$') - 2, 1) + 1)) AS i
+          ) ON true
+        ),
+        dg AS (
+          SELECT alias, canonical, substring('^' || alias || '$', i, 3) AS g
+          FROM dim
+          LEFT JOIN LATERAL (
+            SELECT unnest(range(1, greatest(length('^' || alias || '$') - 2, 1) + 1)) AS i
+          ) ON true
+        ),
+        vh AS (
+          SELECT value, i, min(substring(md5(i::VARCHAR || ':' || g), 1, 16)) AS h
+          FROM vg CROSS JOIN (SELECT unnest(range(0, 16)) AS i) GROUP BY 1, 2
+        ),
+        dh AS (
+          SELECT alias, canonical, i, min(substring(md5(i::VARCHAR || ':' || g), 1, 16)) AS h
+          FROM dg CROSS JOIN (SELECT unnest(range(0, 16)) AS i) GROUP BY 1, 2, 3
+        ),
+        lsh_cand AS (
+          SELECT DISTINCT v.value, d.alias, d.canonical
+          FROM vh v JOIN dh d ON v.i = d.i AND v.h = d.h
+        ),
+        vsz AS (SELECT value, count(DISTINCT g) AS n FROM vg GROUP BY 1),
+        dsz AS (SELECT alias, count(DISTINCT g) AS n FROM dg GROUP BY 1),
+        lsh_common AS (
+          SELECT c.value, c.alias, c.canonical, count(DISTINCT vg.g) AS n_common
+          FROM lsh_cand c
+          JOIN vg ON vg.value = c.value
+          JOIN dg ON dg.alias = c.alias AND dg.g = vg.g
+          GROUP BY 1, 2, 3
+        ),
+        lsh_scored AS (
+          SELECT c.value, c.canonical, c.alias,
+                 c.n_common / (vsz.n + dsz.n - c.n_common) AS jac
+          FROM lsh_common c
+          JOIN vsz ON vsz.value = c.value
+          JOIN dsz ON dsz.alias = c.alias
+          WHERE c.n_common / (vsz.n + dsz.n - c.n_common) >= 0.5
+        ),
+        lsh AS (
+          SELECT value, canonical AS lsh_canonical, jac AS lsh_score FROM (
+            SELECT value, canonical, jac,
+                   row_number() OVER (PARTITION BY value
+                                      ORDER BY jac DESC, canonical ASC, alias ASC) AS rn
+            FROM lsh_scored
+          ) WHERE rn = 1
+        ),
+        cand2 AS (
+          SELECT l.doc_id, l.field, l.value,
+                 coalesce(l.canonical, s.lsh_canonical) AS canonical,
+                 coalesce(l.score, s.lsh_score) AS score
+          FROM linked l LEFT JOIN lsh s ON l.value = s.value
+        ),
+        edges0 AS (
+          SELECT alias AS src_n, canonical AS dst_n FROM dim
+          UNION
+          SELECT DISTINCT value, canonical FROM cand2 WHERE canonical IS NOT NULL
+        ),
+        sym AS (
+          SELECT src_n AS a, dst_n AS b FROM edges0
+          UNION SELECT dst_n, src_n FROM edges0
+        ),
+        reach(node, other) AS (
+          SELECT a, b FROM sym
+          UNION
+          SELECT r.node, e.b FROM reach r JOIN sym e ON r.other = e.a
+        ),
+        comp AS (SELECT node, least(node, min(other)) AS component FROM reach GROUP BY node),
+        dimc AS (
+          SELECT c.component, min(d.canonical) AS dim_canonical
+          FROM comp c JOIN dim d ON c.node = d.canonical GROUP BY 1
+        ),
+        nodes AS (
+          SELECT c.node AS surface, coalesce(dc.dim_canonical, c.component) AS canonical
+          FROM comp c LEFT JOIN dimc dc USING (component)
+        ),
+        doc_triples AS (
+          SELECT m.doc_id AS subj,
+                 CASE m.field WHEN 'import' THEN 'imports'
+                              WHEN 'def' THEN 'declares_function'
+                              WHEN 'class' THEN 'declares_class'
+                              WHEN 'config' THEN 'has_config_key'
+                              WHEN 'shebang' THEN 'has_shebang'
+                              WHEN 'encoding' THEN 'has_encoding'
+                              WHEN '__error__' THEN 'extract_error'
+                              ELSE 'mentions_identifier' END AS pred,
+                 coalesce(n.canonical, m.value) AS obj,
+                 m.doc_id AS doc_id, s.repo, s.lang, s.content_sha,
+                 max(coalesce(m.score, 1.0)) AS conf
+          FROM cand2 m
+          JOIN src s USING (doc_id)
+          LEFT JOIN nodes n ON n.surface = m.value
+          GROUP BY 1, 2, 3, 4, 5, 6, 7
+        ),
+        repo_triples AS (
+          SELECT s.repo AS subj, 'contains_file' AS pred, d.doc_id AS obj,
+                 d.doc_id, s.repo, s.lang, s.content_sha, 1.0 AS conf
+          FROM (SELECT DISTINCT doc_id FROM mentions) d JOIN src s USING (doc_id)
+        )
+        SELECT subj, pred, obj, doc_id, repo, lang, content_sha, conf FROM doc_triples
+        UNION ALL
+        SELECT subj, pred, obj, doc_id, repo, lang, content_sha, conf FROM repo_triples
+        ORDER BY subj, pred, obj
+    """
+
+
+def _ann_ivf_sql(k: int = 10, n_centroids: int = 16, n_probe: int = 4) -> str:
+    """Pure-DuckDB twin of similarity.ivf_topk with the default
+    (codebook-less) quantizer: centroids = the n_centroids lowest-id
+    corpus rows, cell assignment = argmax centroid cosine (ties: cell
+    asc), queries probe their n_probe best cells, exact-cosine rerank
+    with (cos desc, vec_id asc) ranking. No constants, no golden --
+    everything derives from the shared embeddings table."""
+    return f"""
+        WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        cents AS (
+          SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, v AS cv
+          FROM emb ORDER BY vec_id LIMIT {n_centroids}
+        ),
+        corpus_cell AS (
+          SELECT vec_id, v, cell FROM (
+            SELECT e.vec_id, e.v, c.cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell ASC) AS rn
+            FROM emb e CROSS JOIN cents c
+          ) WHERE rn = 1
+        ),
+        qcells AS (
+          SELECT vec_id AS query_id, v AS qv, cell FROM (
+            SELECT e.vec_id, e.v, c.cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell ASC) AS rn
+            FROM emb e CROSS JOIN cents c WHERE e.vec_id < 3
+          ) WHERE rn <= {n_probe}
+        ),
+        ranked AS (
+          SELECT query_id, vec_id, list_cosine_similarity(qv, v) AS cos,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY list_cosine_similarity(qv, v) DESC, vec_id ASC) AS rank
+          FROM corpus_cell cc JOIN qcells qc USING (cell)
+          WHERE cc.vec_id != qc.query_id
+        )
+        SELECT query_id, rank, vec_id, round(cos, 4) AS cos_r
+        FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+    """
+
+
+def _ann_lsh_sql(k: int = 10, n_planes: int = 6) -> str:
+    """Pure-DuckDB twin of similarity.lsh_topk: sign-LSH bucket =
+    Σ 2^i over planes with non-negative dot, hamming-1 multiprobe,
+    exact-cosine rerank. The hyperplanes are the engine's own seeded
+    constants (similarity._planes(64, 6, 42)) embedded as literal
+    doubles -- pinned input data shared by both sides, with the
+    signature/bucket/probe/rank ALGORITHM independently re-expressed
+    in SQL. Sign agreement across engines is safe: dots are O(1) in
+    magnitude while cross-engine float-summation deltas are ~1e-13."""
+    from structured_data_entity_extraction_spark.ops.similarity import _planes
+
+    planes = _planes(64, n_planes, seed=42)
+    pv = ", ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in p)}])"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+        WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        planes(i, p) AS (VALUES {pv}),
+        sigs AS (
+          SELECT e.vec_id,
+                 sum(CASE WHEN list_inner_product(e.v, pl.p) >= 0
+                          THEN (1::BIGINT << pl.i) ELSE 0 END)::BIGINT AS bucket
+          FROM emb e CROSS JOIN planes pl GROUP BY e.vec_id
+        ),
+        q AS (
+          SELECT e.vec_id AS query_id, e.v AS qv, s.bucket AS qbucket
+          FROM emb e JOIN sigs s USING (vec_id) WHERE e.vec_id < 3
+        ),
+        probes AS (
+          SELECT query_id, qv, qbucket AS probe FROM q
+          UNION ALL
+          SELECT query_id, qv, xor(qbucket, (1::BIGINT << i))
+          FROM q CROSS JOIN (SELECT unnest(range(0, {n_planes})) AS i)
+        ),
+        ranked AS (
+          SELECT p.query_id, e.vec_id, list_cosine_similarity(p.qv, e.v) AS cos,
+                 row_number() OVER (PARTITION BY p.query_id
+                                    ORDER BY list_cosine_similarity(p.qv, e.v) DESC, e.vec_id ASC) AS rank
+          FROM probes p
+          JOIN sigs s ON s.bucket = p.probe
+          JOIN emb e ON e.vec_id = s.vec_id
+          WHERE e.vec_id != p.query_id
+        )
+        SELECT query_id, rank, vec_id, round(cos, 4) AS cos_r
+        FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
     """
 
 
@@ -1244,12 +1534,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.doc_id, n_lines, dup_line_ratio, dup_word_ratio, top_word_ratio
             FROM arr a JOIN top USING (doc_id) ORDER BY doc_id
         """,
-        # co-occurrence logic checked independently over the golden
-        # triple parquet (itself hash-verified by codekg_triples)
+        # co-occurrence logic composed over the FULL pipeline SQL (no
+        # golden parquet anywhere in this oracle's chain since r4)
         "entity_cooccurrence": f"""
-            WITH e0 AS (
+            WITH t AS ({_codekg_triples_sql()}),
+            e0 AS (
               SELECT DISTINCT doc_id, obj
-              FROM read_parquet('{os.path.join(_GOLDEN_DIR, "codekg_triples.parquet")}')
+              FROM t
               WHERE pred = 'imports'
             ), e AS (
               -- per-doc fanout cap, mirroring entity_cooccurrence's
@@ -1265,14 +1556,20 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2 ORDER BY src, dst
         """,
         "avaluo_triples": _golden_oracle("avaluo_triples"),
-        "codekg_triples": _golden_oracle("codekg_triples"),
+        # r4: the flagship's oracle is the full pipeline as pure SQL --
+        # the golden parquet remains only as make_goldens cross-check
+        # and as the base for the entity_cooccurrence oracle
+        "codekg_triples": _codekg_triples_sql(),
         # simhash is fully SQL-expressible (md5 hex prefix -> UBIGINT,
         # per-bit +-1 sums, band extraction via shifts), so the r2
         # builder-authored golden twin is retired in favor of a DuckDB
         # oracle independent of any Python the builder wrote
         "simhash_pairs": _simhash_pairs_sql(),
-        "ann_lsh_topk": _golden_oracle("ann_lsh_topk", "query_id, rank, vec_id, cos_r"),
-        "ann_ivf_topk": _golden_oracle("ann_ivf_topk", "query_id, rank, vec_id, cos_r"),
+        # r4: both ANN paths now have pure SQL oracles (bucket/cell
+        # machinery re-expressed in DuckDB); goldens remain only as
+        # make_goldens cross-checks
+        "ann_lsh_topk": _ann_lsh_sql(),
+        "ann_ivf_topk": _ann_ivf_sql(),
         "multimodal_features": _golden_oracle(
             "multimodal_features",
             "asset_id, kind, n_bytes, dec_width, dec_height, dec_sample_rate,"

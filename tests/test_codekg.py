@@ -230,6 +230,22 @@ def test_lsh_links_near_aliases(spark):
     assert got["totallyunknownmod"][0] is None
 
 
+def test_repos_fixture_parquet_matches_generator():
+    """The committed input fixture parquet (the shared input of the
+    codekg_triples SQL oracle) must be byte-equal to
+    repos_src_rows(400, seed=42) -- so the oracle's input can never
+    silently drift from the generator the tests and bench use."""
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as entry
+
+    rows = repos_src_rows(400, seed=42)
+    t = pq.read_table(entry._REPOS_FIXTURE).to_pydict()
+    assert len(t["repo"]) == len(rows)
+    for col in ("repo", "path", "commit", "lang", "content"):
+        assert t[col] == [r[col] for r in rows], f"fixture drift in {col}"
+
+
 def test_lsh_recall_holds_across_alias_lengths(spark):
     """Property gate (VERDICT r3 #10): lsh_threshold=0.5 with r=1/b=16
     banding is tuned for short import strings; a future dim change must

@@ -55,12 +55,15 @@ def main():
     oracles = entry.oracle_sql()
     # SINGLE SOURCE for the query-count facts docs reference (README /
     # COVERAGE.md / verify skill quote this line instead of hard-coding
-    # counts that go stale -- VERDICT r3 #9)
+    # counts that go stale -- VERDICT r3 #9). A "golden" oracle reads a
+    # pre-materialized EXPECTED-OUTPUT parquet from data/golden/; an
+    # oracle that merely reads a shared INPUT fixture parquet (and
+    # recomputes the answer in SQL) counts as ANSI-SQL.
     n_golden = sum(
-        1 for name in qs if name in oracles and "read_parquet" in oracles[name]
+        1 for name in qs if name in oracles and "/data/golden/" in oracles[name]
     )
     n_sql = sum(
-        1 for name in qs if name in oracles and "read_parquet" not in oracles[name]
+        1 for name in qs if name in oracles and "/data/golden/" not in oracles[name]
     )
     print(
         f"registry: {len(qs)} queries -- {n_sql} ANSI-SQL DuckDB oracles, "

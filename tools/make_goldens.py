@@ -442,7 +442,28 @@ def make_multimodal_golden(n: int = 30) -> None:
     print(f"wrote multimodal_features.parquet: {len(rows)} rows")
 
 
+def make_repos_fixture() -> None:
+    """The SHARED INPUT of the codekg_triples SQL oracle (r4): the
+    repos_src_rows(400, seed=42) corpus as parquet, read by both the
+    Spark query and the DuckDB oracle. Parity with the generator is
+    pytest-gated (test_repos_fixture_parquet_matches_generator)."""
+    from structured_data_entity_extraction_spark.fixtures import repos_src_rows
+
+    fix_dir = os.path.join(
+        os.path.dirname(GOLDEN_DIR), "fixtures"
+    )
+    os.makedirs(fix_dir, exist_ok=True)
+    rows = repos_src_rows(400, seed=42)
+    table = pa.Table.from_pydict(
+        {c: [r[c] for r in rows] for c in ("repo", "path", "commit", "lang", "content")}
+    )
+    path = os.path.join(fix_dir, "repos_src_400.parquet")
+    pq.write_table(table, path)
+    print(f"wrote {path}: {len(rows)} rows")
+
+
 if __name__ == "__main__":
+    make_repos_fixture()
     make_avaluo_golden()
     make_codekg_golden()
     make_ann_lsh_golden()
