@@ -89,6 +89,41 @@ def windowed_event_counts(
     )
 
 
+# ----------------------------------------- streaming exact dedup
+
+
+def stream_dedup_exact(
+    docs: DataFrame,
+    watermark: str = "1 hour",
+    ts_col: str = "ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming twin of ops/dedup.dedup_exact for append-only corpus
+    feeds: keep the FIRST-ARRIVING row per distinct text within the
+    watermark horizon. ``dropDuplicatesWithinWatermark`` bounds the
+    dedup state by event time -- the batch operator's full-history
+    hash table cannot exist in an unbounded stream, so the contract
+    weakens to "no duplicate admitted within ``watermark`` of the
+    first copy" (the standard streaming-dedup trade: state size vs
+    dedup horizon). Duplicates arriving across micro-batches inside
+    the horizon ARE caught (pytest-gated); re-crawls separated by more
+    than the horizon re-admit, which a periodic batch
+    ``dedup_exact`` sweep over the sink reconciles.
+
+    Works on a batch frame too (falls back to dropDuplicates
+    semantics over the sha key)."""
+    keyed = docs.withColumn(
+        "_text_sha", F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256)
+    )
+    if docs.isStreaming:
+        out = keyed.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            ["_text_sha"]
+        )
+    else:
+        out = keyed.dropDuplicates(["_text_sha"])
+    return out.drop("_text_sha")
+
+
 # ------------------------------------ custom stateful operator (§2.9)
 
 SESSION_OUT = T.StructType(

@@ -246,6 +246,29 @@ def test_repos_fixture_parquet_matches_generator():
         assert t[col] == [r[col] for r in rows], f"fixture drift in {col}"
 
 
+def test_codekg_sql_oracle_matches_golden_parquet():
+    """Triangulation (pure DuckDB, no Spark): the r4 full-pipeline SQL
+    oracle must reproduce the make_goldens parquet (itself produced by
+    an independent Python twin and historically hash-verified against
+    Spark). Three implementations -- Spark engine, SQL oracle, Python
+    twin -- all agree or this fails in ~2 s."""
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    golden = os.path.join(entry._GOLDEN_DIR, "codekg_triples.parquet")
+    con = duckdb.connect()
+    mine = con.sql(entry._codekg_triples_sql()).df()
+    gold = con.sql(
+        f"SELECT subj, pred, obj, doc_id, repo, lang, content_sha, conf "
+        f"FROM read_parquet('{golden}') ORDER BY subj, pred, obj"
+    ).df()
+    assert len(mine) == len(gold)
+    m, g = mine.reset_index(drop=True), gold.reset_index(drop=True)
+    diff = (m != g) & ~(m.isna() & g.isna())
+    assert not diff.any(axis=1).any(), m[diff.any(axis=1)].head()
+
+
 def test_lsh_recall_holds_across_alias_lengths(spark):
     """Property gate (VERDICT r3 #10): lsh_threshold=0.5 with r=1/b=16
     banding is tuned for short import strings; a future dim change must

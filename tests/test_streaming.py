@@ -51,6 +51,61 @@ def test_stream_matches_batch(spark, tmp_path):
     assert got2.count() == want2.count()  # no duplicates from reprocessing
 
 
+def test_stream_dedup_exact_across_microbatches(spark, tmp_path):
+    """dropDuplicatesWithinWatermark state carries ACROSS micro-batches:
+    a duplicate text arriving in a later batch (inside the watermark
+    horizon) is suppressed; distinct texts pass; the first copy wins."""
+    import datetime as dt
+
+    from pyspark.sql import types as T
+
+    from structured_data_entity_extraction_spark.streaming import stream_dedup_exact
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType(), False),
+            T.StructField("ts", T.TimestampType(), False),
+            T.StructField("text", T.StringType(), True),
+        ]
+    )
+    base = dt.datetime(2024, 1, 1)
+    inp = str(tmp_path / "dd_in")
+    # file 1 then file 2; maxFilesPerTrigger=1 forces two micro-batches
+    spark.createDataFrame([(1, base, "same text")], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(inp)
+    spark.createDataFrame(
+        [
+            (2, base + dt.timedelta(minutes=5), "same text"),
+            (3, base + dt.timedelta(minutes=6), "other text"),
+        ],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(inp)
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(inp)
+    )
+    out = stream_dedup_exact(stream, watermark="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dd_sink")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "dd_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["doc_id"], r["text"]) for r in spark.sql("SELECT * FROM dd_sink").collect()}
+    assert got == {(1, "same text"), (3, "other text")}
+
+    # batch fallback: same keep-first-per-text contract
+    bdf = spark.createDataFrame(
+        [(1, base, "a"), (2, base, "a"), (3, base, "b")], schema
+    )
+    kept = {r["text"] for r in stream_dedup_exact(bdf).collect()}
+    assert kept == {"a", "b"}
+
+
 def test_windowed_event_counts_stream_vs_batch(spark, tmp_path):
     """Watermarked tumbling-window agg: streaming (update mode, memory
     sink) converges to the same final windows as the batch run of the
