@@ -128,6 +128,14 @@ class StageStore:
         self.run_id = run_id
         self.iceberg_catalog = iceberg_catalog
         self.iceberg_namespace = iceberg_namespace
+        # input identity for resume safety: the pipeline sets these to
+        # the RAW input's distinct-(doc_id, sha) digest + count before
+        # running stages; write() stamps them into every manifest and
+        # run_stage() refuses to resume a checkpoint built from a
+        # DIFFERENT input (see run_stage docstring for why the
+        # per-stage sha invariant alone cannot catch the append case)
+        self.input_digest: str | None = None
+        self.input_docs: int | None = None
 
     def iceberg_ident(self, stage: str) -> str:
         return f"{self.iceberg_catalog}.{self.iceberg_namespace}.{stage}"
@@ -197,6 +205,8 @@ class StageStore:
             "wall_ms": wall_ms,
             "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             "iceberg_table": self.iceberg_ident(stage) if self.iceberg_catalog else None,
+            "input_sha_digest": self.input_digest,
+            "input_docs": self.input_docs,
         }
         tmp = self.manifest_path(stage) + ".tmp"
         with open(tmp, "w", encoding="utf-8") as fh:
@@ -211,8 +221,33 @@ class StageStore:
         build,
         partition_by: list[str] | None = None,
     ) -> DataFrame:
-        """Resume-aware: skip + re-read if committed, else build + write."""
+        """Resume-aware: skip + re-read if committed, else build + write.
+
+        Resume refuses a checkpoint whose manifest records a DIFFERENT
+        input identity than this run's (digest + doc count of the raw
+        input's distinct (doc_id, content_sha) pairs). The per-stage
+        sha invariant cannot catch every such case on its own: it is a
+        subset check (stages may legitimately drop zero-mention docs),
+        so re-running an old warehouse over an APPENDED input would
+        resume stale stages that silently miss every new document.
+        Old manifests without the field skip the check."""
         if self.is_complete(stage):
+            m = self.manifest(stage)
+            recorded = m.get("input_sha_digest")
+            if (
+                self.input_digest is not None
+                and recorded is not None
+                and (recorded, m.get("input_docs"))
+                != (self.input_digest, self.input_docs)
+            ):
+                raise RuntimeError(
+                    f"stage '{stage}' checkpoint at {self._dir(stage)} was built "
+                    f"from a different input (manifest digest {recorded}/"
+                    f"{m.get('input_docs')} docs vs current {self.input_digest}/"
+                    f"{self.input_docs}): resuming would silently miss changed "
+                    "or appended documents. Use a fresh --output warehouse for "
+                    "the new input, or delete the stage manifests to rebuild."
+                )
             return self.read(spark, stage)
         return self.write(build(), stage, partition_by)
 

@@ -64,6 +64,11 @@ def run_codekg_pipeline(
     input_pairs = doc_sha_pairs(input_keyed).persist()
     input_digest = doc_sha_digest(input_keyed)
     metrics["input_sha_digest"] = input_digest
+    # stamp the input identity into every stage manifest: resume only
+    # proceeds when the warehouse was built from THIS input (run_stage
+    # raises otherwise -- the silent-stale-resume guard)
+    store.input_digest = input_digest
+    store.input_docs = input_pairs.count()
 
     def timed(stage, build, partition_by=None):
         t0 = time.time()
@@ -130,6 +135,8 @@ def run_avaluo_pipeline(
     )
     input_pairs = doc_sha_pairs(input_keyed).persist()
     input_digest = doc_sha_digest(input_keyed)
+    store.input_digest = input_digest
+    store.input_docs = input_pairs.count()
     out: dict = {"input_sha_digest": input_digest, "stages": {}}
     records = store.run_stage(
         spark, "records", lambda: avaluo_records(docs, dims)

@@ -173,6 +173,28 @@ def test_pipeline_resume_and_lineage(spark, repos_df, tmp_path):
     assert rows_before == rows_after
 
 
+def test_resume_refuses_changed_input(spark, repos_df, rows, tmp_path):
+    """Silent-stale-resume guard (r4): a warehouse built from input A,
+    re-run over A + appended docs, must RAISE -- the per-stage sha
+    invariant alone cannot catch this (stale stages are a legitimate
+    SUBSET of the grown input), so an append would otherwise resume
+    checkpoints that silently miss every new document. Identical input
+    keeps resuming cleanly."""
+    out = str(tmp_path / "w")
+    m1 = run_codekg_pipeline(spark, repos_df, out, run_id="r1", use_lsh=False)
+    assert m1["triples"] > 0
+    # same input -> clean resume
+    m2 = run_codekg_pipeline(spark, repos_df, out, run_id="r2", use_lsh=False)
+    assert all(s["resumed"] for s in m2["stages"].values())
+    # appended input -> refuse
+    extra = spark.createDataFrame(
+        [("org9/new", "src/new.py", "f" * 40, "python", "import numpy")], REPOS_SRC
+    )
+    grown = repos_df.unionByName(extra)
+    with pytest.raises(RuntimeError, match="different input"):
+        run_codekg_pipeline(spark, grown, out, run_id="r3", use_lsh=False)
+
+
 def test_determinism(spark, repos_df, tmp_path):
     """Same input twice -> identical triples (SURVEY.md §5 item 4)."""
     a = run_codekg_pipeline(spark, repos_df, str(tmp_path / "w1"), use_lsh=False)
