@@ -811,22 +811,24 @@ def _simhash_pairs_sql(max_hamming: int = 3) -> str:
     """
 
 
-def _lsh_alias_map_sql(threshold: float = 0.5, num_hashes: int = 16) -> str:
-    """Pure-DuckDB twin of codekg.lsh_alias_map over the literal probe
-    values + the default alias dim: char-3-grams of '^'+s+'$', 16
-    md5-prefix minhashes, r=1 banding (band key = the minhash itself --
-    md5(h) equality is h equality), exact distinct-gram jaccard rerank,
-    top-1 per value with (jac desc, canonical asc, alias asc) ties."""
-    from structured_data_entity_extraction_spark.codekg import default_code_alias_rows
+def _sq(s: str) -> str:
+    """SQL single-quote escaping for VALUES literals."""
+    return s.replace("'", "''")
 
-    vals = ", ".join(f"('{v}')" for v in _LSH_PROBE_VALUES)
-    dim = ", ".join(f"('{a}', '{c}')" for a, c in default_code_alias_rows())
+
+def _lsh_sql_ctes(source: str, threshold: float, num_hashes: int = 16) -> str:
+    """The engine's MinHash-LSH machinery as a reusable CTE block
+    (ONE definition shared by _lsh_alias_map_sql and
+    _codekg_triples_sql so the two oracles can never drift apart):
+    char-3-grams of '^'+s+'$', ``num_hashes`` md5-prefix minhashes,
+    r=1 banding (band key = the minhash itself -- md5(h) equality is
+    h equality), exact distinct-gram jaccard rerank at ``threshold``.
+    Expects ``{source}(value)`` and ``dim(alias, canonical)`` CTEs in
+    scope; ends with ``lsh_scored(value, canonical, alias, jac)``."""
     return f"""
-        WITH vals(value) AS (VALUES {vals}),
-        dim(alias, canonical) AS (VALUES {dim}),
         vg AS (
           SELECT value, substring('^' || value || '$', i, 3) AS g
-          FROM vals
+          FROM {source}
           LEFT JOIN LATERAL (
             SELECT unnest(range(1, greatest(length('^' || value || '$') - 2, 1) + 1)) AS i
           ) ON true
@@ -848,32 +850,47 @@ def _lsh_alias_map_sql(threshold: float = 0.5, num_hashes: int = 16) -> str:
           FROM dg CROSS JOIN (SELECT unnest(range(0, {num_hashes})) AS i)
           GROUP BY 1, 2, 3
         ),
-        cand AS (
+        lsh_cand AS (
           SELECT DISTINCT v.value, d.alias, d.canonical
           FROM vh v JOIN dh d ON v.i = d.i AND v.h = d.h
         ),
         vsz AS (SELECT value, count(DISTINCT g) AS n FROM vg GROUP BY 1),
         dsz AS (SELECT alias, count(DISTINCT g) AS n FROM dg GROUP BY 1),
-        common AS (
+        lsh_common AS (
           SELECT c.value, c.alias, c.canonical, count(DISTINCT vg.g) AS n_common
-          FROM cand c
+          FROM lsh_cand c
           JOIN vg ON vg.value = c.value
           JOIN dg ON dg.alias = c.alias AND dg.g = vg.g
           GROUP BY 1, 2, 3
         ),
-        scored AS (
-          SELECT c.value, c.alias, c.canonical,
+        lsh_scored AS (
+          SELECT c.value, c.canonical, c.alias,
                  c.n_common / (vsz.n + dsz.n - c.n_common) AS jac
-          FROM common c
+          FROM lsh_common c
           JOIN vsz ON vsz.value = c.value
           JOIN dsz ON dsz.alias = c.alias
           WHERE c.n_common / (vsz.n + dsz.n - c.n_common) >= {threshold}
-        ),
+        )"""
+
+
+def _lsh_alias_map_sql(threshold: float = 0.5, num_hashes: int = 16) -> str:
+    """Pure-DuckDB twin of codekg.lsh_alias_map over the literal probe
+    values + the default alias dim: the shared ``_lsh_sql_ctes`` block
+    plus top-1 per value with (jac desc, canonical asc, alias asc)
+    ties."""
+    from structured_data_entity_extraction_spark.codekg import default_code_alias_rows
+
+    vals = ", ".join(f"('{_sq(v)}')" for v in _LSH_PROBE_VALUES)
+    dim = ", ".join(f"('{_sq(a)}', '{_sq(c)}')" for a, c in default_code_alias_rows())
+    return f"""
+        WITH vals(value) AS (VALUES {vals}),
+        dim(alias, canonical) AS (VALUES {dim}),
+        {_lsh_sql_ctes('vals', threshold, num_hashes)},
         ranked AS (
           SELECT value, canonical, jac,
                  row_number() OVER (PARTITION BY value
                                     ORDER BY jac DESC, canonical ASC, alias ASC) AS rn
-          FROM scored
+          FROM lsh_scored
         )
         SELECT value, canonical AS lsh_canonical, round(jac, 6) AS lsh_score_r
         FROM ranked WHERE rn = 1 ORDER BY value
@@ -914,8 +931,10 @@ def _codekg_triples_sql() -> str:
             for rx in patterns
         )
 
-    kw = ", ".join(f"'{k}'" for k in sorted(codekg._KEYWORDS))
-    dim = ", ".join(f"('{a}', '{c}')" for a, c in codekg.default_code_alias_rows())
+    kw = ", ".join(f"'{_sq(k)}'" for k in sorted(codekg._KEYWORDS))
+    dim = ", ".join(
+        f"('{_sq(a)}', '{_sq(c)}')" for a, c in codekg.default_code_alias_rows()
+    )
     ident_rx = r"\b[A-Za-z_][A-Za-z0-9_]{2,}\b"
     return f"""
         WITH RECURSIVE src AS (
@@ -977,49 +996,7 @@ def _codekg_triples_sql() -> str:
           SELECT DISTINCT value FROM linked
           WHERE canonical IS NULL AND field = 'import' AND length(value) >= 2
         ),
-        vg AS (
-          SELECT value, substring('^' || value || '$', i, 3) AS g
-          FROM misses
-          LEFT JOIN LATERAL (
-            SELECT unnest(range(1, greatest(length('^' || value || '$') - 2, 1) + 1)) AS i
-          ) ON true
-        ),
-        dg AS (
-          SELECT alias, canonical, substring('^' || alias || '$', i, 3) AS g
-          FROM dim
-          LEFT JOIN LATERAL (
-            SELECT unnest(range(1, greatest(length('^' || alias || '$') - 2, 1) + 1)) AS i
-          ) ON true
-        ),
-        vh AS (
-          SELECT value, i, min(substring(md5(i::VARCHAR || ':' || g), 1, 16)) AS h
-          FROM vg CROSS JOIN (SELECT unnest(range(0, 16)) AS i) GROUP BY 1, 2
-        ),
-        dh AS (
-          SELECT alias, canonical, i, min(substring(md5(i::VARCHAR || ':' || g), 1, 16)) AS h
-          FROM dg CROSS JOIN (SELECT unnest(range(0, 16)) AS i) GROUP BY 1, 2, 3
-        ),
-        lsh_cand AS (
-          SELECT DISTINCT v.value, d.alias, d.canonical
-          FROM vh v JOIN dh d ON v.i = d.i AND v.h = d.h
-        ),
-        vsz AS (SELECT value, count(DISTINCT g) AS n FROM vg GROUP BY 1),
-        dsz AS (SELECT alias, count(DISTINCT g) AS n FROM dg GROUP BY 1),
-        lsh_common AS (
-          SELECT c.value, c.alias, c.canonical, count(DISTINCT vg.g) AS n_common
-          FROM lsh_cand c
-          JOIN vg ON vg.value = c.value
-          JOIN dg ON dg.alias = c.alias AND dg.g = vg.g
-          GROUP BY 1, 2, 3
-        ),
-        lsh_scored AS (
-          SELECT c.value, c.canonical, c.alias,
-                 c.n_common / (vsz.n + dsz.n - c.n_common) AS jac
-          FROM lsh_common c
-          JOIN vsz ON vsz.value = c.value
-          JOIN dsz ON dsz.alias = c.alias
-          WHERE c.n_common / (vsz.n + dsz.n - c.n_common) >= 0.5
-        ),
+        {_lsh_sql_ctes('misses', 0.5)},
         lsh AS (
           SELECT value, canonical AS lsh_canonical, jac AS lsh_score FROM (
             SELECT value, canonical, jac,
@@ -1557,8 +1534,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "avaluo_triples": _golden_oracle("avaluo_triples"),
         # r4: the flagship's oracle is the full pipeline as pure SQL --
-        # the golden parquet remains only as make_goldens cross-check
-        # and as the base for the entity_cooccurrence oracle
+        # the codekg golden parquet is no longer read by ANY oracle
+        # (entity_cooccurrence composes over this same SQL); it remains
+        # only as the make_goldens / triangulation-test cross-check
         "codekg_triples": _codekg_triples_sql(),
         # simhash is fully SQL-expressible (md5 hex prefix -> UBIGINT,
         # per-bit +-1 sums, band extraction via shifts), so the r2

@@ -14,6 +14,7 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -49,7 +50,7 @@ def _kg_inputs(spark):
     return docs, repos
 
 
-def bench_queries(spark, sf_dir: str) -> tuple[dict, dict]:
+def bench_queries(spark, sf_dir: str) -> tuple[dict, dict, dict]:
     import __spark_entry__ as entry
     from structured_data_entity_extraction_spark import codekg
     from structured_data_entity_extraction_spark.link import avaluo_records
@@ -93,7 +94,9 @@ def bench_queries(spark, sf_dir: str) -> tuple[dict, dict]:
     # releases every operator-internal persist between runs.
     from structured_data_entity_extraction_spark.ops.cache import cache_scope
 
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    # clamp: 0/negative would leave every sample list empty and crash
+    # min() after the expensive warmup already ran
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
     samples: dict[str, list[float]] = {name: [] for name in plan}
     counts: dict = {}
     for _round in range(repeats):
@@ -115,7 +118,7 @@ def run(master: str, sf_dir: str) -> dict:
     timings, counts, samples = bench_queries(spark, sf_dir)
     wall = round(time.time() - t0, 3)
     total = round(sum(timings.values()), 3)
-    medians = {n: round(sorted(ts)[len(ts) // 2], 3) for n, ts in samples.items()}
+    medians = {n: round(statistics.median(ts), 3) for n, ts in samples.items()}
     total_median = round(sum(medians.values()), 3)
     kg_triples = counts["avaluo_triples"] + counts["codekg_triples"]
     kg_secs = timings["avaluo_triples"] + timings["codekg_triples"]

@@ -435,7 +435,14 @@ def entity_cooccurrence(
     ``cooccurrence_truncation_report`` -- no silent dropping; the
     DuckDB oracle applies the identical cap. Pass ``max_per_doc=0`` to
     disable. Hot entity PAIRS aggregate with map-side combine; src <
-    dst canonicalizes edge direction."""
+    dst canonicalizes edge direction.
+
+    Caveat the cap implies (by design): a capped doc contributes NO
+    pairs for its entities past position ``max_per_doc``, so n_docs on
+    edges involving those entities undercounts by that doc -- the
+    count is bounded-wrong, not silently absent: the truncation report
+    names exactly the docs where this applies; raise or disable the
+    cap if they matter."""
     from pyspark.sql import Window
 
     e = (
@@ -467,15 +474,19 @@ def cooccurrence_truncation_report(
     """(doc_id, n_entities) for every doc whose distinct-entity count
     exceeds ``max_per_doc`` -- the docs whose co-occurrence edges
     ``entity_cooccurrence`` truncates. Surfacing the cap instead of
-    silently applying it (the ngram_jaccard_pairs df_cap precedent)."""
-    return (
+    silently applying it (the ngram_jaccard_pairs df_cap precedent).
+    ``max_per_doc=0`` mirrors entity_cooccurrence's cap-disabled
+    convention: nothing is truncated, so the report is empty."""
+    counts = (
         triples.filter(F.col("pred") == pred)
         .select("doc_id", "obj")
         .distinct()
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_entities"))
-        .filter(F.col("n_entities") > max_per_doc)
     )
+    if not max_per_doc:
+        return counts.filter(F.lit(False))
+    return counts.filter(F.col("n_entities") > max_per_doc)
 
 
 def _is_hex(col: str):

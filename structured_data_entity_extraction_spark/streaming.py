@@ -97,6 +97,7 @@ def stream_dedup_exact(
     watermark: str = "1 hour",
     ts_col: str = "ts",
     text_col: str = "text",
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Streaming twin of ops/dedup.dedup_exact for append-only corpus
     feeds: keep the FIRST-ARRIVING row per distinct text within the
@@ -110,8 +111,12 @@ def stream_dedup_exact(
     than the horizon re-admit, which a periodic batch
     ``dedup_exact`` sweep over the sink reconciles.
 
-    Works on a batch frame too (falls back to dropDuplicates
-    semantics over the sha key)."""
+    Works on a batch frame too, with a DETERMINISTIC keeper: the
+    earliest-ts row per distinct text, ties broken by ``id_col`` asc
+    (plain dropDuplicates keeps a partitioning-dependent arbitrary
+    row, which would make the batch twin nondeterministic)."""
+    from pyspark.sql import Window
+
     keyed = docs.withColumn(
         "_text_sha", F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256)
     )
@@ -120,7 +125,14 @@ def stream_dedup_exact(
             ["_text_sha"]
         )
     else:
-        out = keyed.dropDuplicates(["_text_sha"])
+        w = Window.partitionBy("_text_sha").orderBy(
+            F.col(ts_col).asc(), F.col(id_col).asc()
+        )
+        out = (
+            keyed.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
     return out.drop("_text_sha")
 
 

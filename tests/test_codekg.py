@@ -173,7 +173,7 @@ def test_pipeline_resume_and_lineage(spark, repos_df, tmp_path):
     assert rows_before == rows_after
 
 
-def test_resume_refuses_changed_input(spark, repos_df, rows, tmp_path):
+def test_resume_refuses_changed_input(spark, repos_df, tmp_path):
     """Silent-stale-resume guard (r4): a warehouse built from input A,
     re-run over A + appended docs, must RAISE -- the per-stage sha
     invariant alone cannot catch this (stale stages are a legitimate
@@ -347,6 +347,13 @@ def test_entity_cooccurrence_cap_bounds_mega_doc(spark):
     assert small_pairs == {("a", "b"), ("a", "c"), ("b", "c")}
     report = codekg.cooccurrence_truncation_report(triples, max_per_doc=cap).collect()
     assert [(r["doc_id"], r["n_entities"]) for r in report] == [("mega", 500)]
+    # cap disabled (0) -> nothing is truncated -> empty report, and the
+    # edge count goes fully quadratic on the mega doc
+    assert codekg.cooccurrence_truncation_report(triples, max_per_doc=0).count() == 0
+    assert (
+        codekg.entity_cooccurrence(triples, max_per_doc=0).count()
+        == 500 * 499 // 2 + 3
+    )
 
 
 def test_empty_content_doc_does_not_abort(spark, tmp_path):

@@ -98,12 +98,18 @@ def test_stream_dedup_exact_across_microbatches(spark, tmp_path):
     got = {(r["doc_id"], r["text"]) for r in spark.sql("SELECT * FROM dd_sink").collect()}
     assert got == {(1, "same text"), (3, "other text")}
 
-    # batch fallback: same keep-first-per-text contract
+    # batch fallback: DETERMINISTIC keeper -- earliest ts, then min id
     bdf = spark.createDataFrame(
-        [(1, base, "a"), (2, base, "a"), (3, base, "b")], schema
-    )
-    kept = {r["text"] for r in stream_dedup_exact(bdf).collect()}
-    assert kept == {"a", "b"}
+        [
+            (2, base, "a"),  # ties (1, base) on ts; id 1 must win
+            (1, base, "a"),
+            (4, base + dt.timedelta(minutes=1), "a"),  # later ts loses
+            (3, base, "b"),
+        ],
+        schema,
+    ).repartition(4)
+    kept = {(r["doc_id"], r["text"]) for r in stream_dedup_exact(bdf).collect()}
+    assert kept == {(1, "a"), (3, "b")}
 
 
 def test_windowed_event_counts_stream_vs_batch(spark, tmp_path):
