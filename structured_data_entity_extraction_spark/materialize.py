@@ -214,6 +214,78 @@ class StageStore:
         os.replace(tmp, self.manifest_path(stage))  # atomic commit
         return persisted
 
+    def append(
+        self,
+        df: DataFrame,
+        stage: str,
+        partition_by: list[str] | None = None,
+    ) -> DataFrame:
+        """Append a batch to a COMMITTED stage (the incremental-ingest
+        path): data files append, the batch's lineage rows append under
+        this run_id, and the manifest is atomically rewritten with the
+        summed row count and THIS store's input identity (the caller
+        sets input_digest/input_docs to the COMBINED old+new input
+        before calling -- the sha sum-fold is additive over disjoint
+        doc sets, so combined digests are exact, not recomputed).
+        Returns the re-read full stage."""
+        if not self.is_complete(stage):
+            raise RuntimeError(
+                f"append requires a committed '{stage}' stage; run the full "
+                "pipeline first"
+            )
+        spark = df.sparkSession
+        d = self._dir(stage)
+        old = self.manifest(stage)
+        t0 = time.time()
+        if self.iceberg_catalog:
+            ident = self.iceberg_ident(stage)
+            df.writeTo(ident).append()
+            persisted = spark.read.table(ident)
+        else:
+            data_path = os.path.join(d, "data")
+            writer = df.write.mode("append")
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.parquet(data_path)
+            persisted = spark.read.parquet(data_path)
+        wall_ms = int((time.time() - t0) * 1000)
+        # lineage of the appended batch only, under this run_id (the
+        # prior batches' rows stay; partition ids are per-batch)
+        lin = lineage_frame(df, stage, self.run_id).withColumn(
+            "wall_ms", F.lit(wall_ms)
+        )
+        lin.write.mode("append").parquet(os.path.join(d, "_lineage"))
+        new_totals = lin.agg(
+            F.sum("rows").alias("rows"), F.count(F.lit(1)).alias("partitions")
+        ).collect()[0]
+        manifest = dict(old)
+        manifest.update(
+            {
+                "run_id": self.run_id,
+                "rows": int(old["rows"]) + int(new_totals["rows"] or 0),
+                "partitions": int(old["partitions"]) + int(new_totals["partitions"]),
+                "wall_ms": wall_ms,
+                "committed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+                "input_sha_digest": self.input_digest,
+                "input_docs": self.input_docs,
+                "appended_from_rows": int(old["rows"]),
+            }
+        )
+        tmp = self.manifest_path(stage) + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(manifest, fh, indent=1)
+        os.replace(tmp, self.manifest_path(stage))
+        return persisted
+
+    def invalidate(self, stage: str) -> None:
+        """Drop a stage checkpoint so the next run_stage rebuilds it
+        (the incremental path invalidates every stage DOWNSTREAM of an
+        append -- their manifests carry the pre-append input identity,
+        which run_stage would rightly refuse)."""
+        d = self._dir(stage)
+        if os.path.exists(d):
+            shutil.rmtree(d)
+
     def run_stage(
         self,
         spark: SparkSession,

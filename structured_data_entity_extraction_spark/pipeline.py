@@ -112,6 +112,130 @@ def run_codekg_pipeline(
     return metrics
 
 
+def run_codekg_pipeline_incremental(
+    spark: SparkSession,
+    repos_src_new: DataFrame,
+    out_root: str,
+    run_id: str = "inc0",
+    bucket_count: int = 64,
+    use_lsh: bool = True,
+    alias_rows=None,
+    iceberg_catalog: str | None = None,
+) -> dict:
+    """Append-only incremental ingest (the 10^12-file reality is an
+    append-only crawl): extract + link ONLY the new documents -- the
+    Arrow-pUDF extraction is the dominant pipeline cost and is
+    per-document independent, as is dictionary/LSH linking (value-level
+    against the dim, no cross-document dependencies) -- append them to
+    the committed mentions/candidates stages, then rebuild the global
+    stages (edges/nodes/triples) from the union: canonicalization is
+    corpus-global by definition (a new surface can re-canonicalize old
+    triples through a new alias chain), so exact semantics require the
+    downstream rebuild; it is the cheap part next to re-extracting.
+
+    Input-identity bookkeeping is EXACT, not recomputed: the sha
+    sum-fold digest is additive over disjoint doc sets, so the
+    combined identity = old manifest digest + new batch digest. A
+    subsequent FULL run over old+new input therefore resumes every
+    stage cleanly, and the run_stage guard keeps refusing any other
+    input. New docs must be genuinely new (doc_id overlap with the
+    existing mentions stage raises -- update-in-place is not append)."""
+    store = StageStore(out_root, run_id=run_id, iceberg_catalog=iceberg_catalog)
+    for st in ("mentions", "candidates"):
+        if not store.is_complete(st):
+            raise RuntimeError(
+                f"incremental append requires a committed '{st}' stage; "
+                "run the full pipeline first"
+            )
+    old_m = store.manifest("mentions")
+    old_digest, old_docs = old_m.get("input_sha_digest"), old_m.get("input_docs")
+    if old_digest is None:
+        raise RuntimeError(
+            "warehouse predates input-identity manifests; re-run the full "
+            "pipeline once to stamp them before appending"
+        )
+
+    input_keyed = repos_src_new.select(
+        F.sha2(
+            F.concat_ws("\x00", F.col("repo"), F.col("path"), F.col("commit")), 256
+        ).alias("doc_id"),
+        F.sha2(F.coalesce(F.col("content"), F.lit("")), 256).alias("content_sha"),
+    )
+    new_pairs = doc_sha_pairs(input_keyed).persist()
+    new_digest = doc_sha_digest(input_keyed)
+    n_new = new_pairs.count()
+    existing_ids = store.read(spark, "mentions").select("doc_id").distinct()
+    n_overlap = new_pairs.join(existing_ids, "doc_id", "left_semi").count()
+    if n_overlap:
+        raise RuntimeError(
+            f"{n_overlap} of the {n_new} new docs already exist in the "
+            "warehouse: incremental ingest is append-only; re-extracting "
+            "changed documents needs a fresh warehouse (or delete + full run)"
+        )
+    store.input_digest = str(int(old_digest) + int(new_digest))
+    store.input_docs = int(old_docs) + n_new
+
+    metrics: dict = {
+        "run_id": run_id,
+        "mode": "incremental",
+        "new_docs": n_new,
+        "input_sha_digest": store.input_digest,
+        "stages": {},
+    }
+    alias_dim = codekg.code_alias_dim(spark, alias_rows)
+    # the new-batch frames feed both the append write and the
+    # downstream link/invariant -- persist so the extraction pUDF runs
+    # once per batch
+    mentions_new = codekg.extract_code_mentions(repos_src_new, bucket_count).persist()
+    candidates_new = codekg.link_mentions(
+        mentions_new, alias_dim, use_lsh=use_lsh
+    ).persist()
+    for stage, df in (("mentions", mentions_new), ("candidates", candidates_new)):
+        t0 = time.time()
+        store.append(df, stage, ["repo_bucket", "lang"])
+        rep = sha_invariant_report(df, new_pairs, new_digest)
+        if not rep["sha_invariant_ok"]:
+            raise RuntimeError(
+                f"content sha256 invariant violated in appended batch at "
+                f"stage {stage}: {rep['bad_pairs']} pairs not in new input"
+            )
+        metrics["stages"][stage] = {
+            "appended_rows": store.manifest(stage)["rows"]
+            - store.manifest(stage)["appended_from_rows"],
+            "total_rows": store.manifest(stage)["rows"],
+            "wall_s": round(time.time() - t0, 3),
+            **rep,
+        }
+
+    # global stages rebuild from the union (their old manifests carry
+    # the pre-append input identity, which run_stage would refuse)
+    candidates_all = store.read(spark, "candidates")
+    for st in ("edges", "nodes", "triples"):
+        store.invalidate(st)
+
+    def timed(stage, build, partition_by=None):
+        t0 = time.time()
+        df = store.run_stage(spark, stage, build, partition_by)
+        metrics["stages"][stage] = {
+            "rows": store.manifest(stage)["rows"],
+            "wall_s": round(time.time() - t0, 3),
+            "rebuilt": True,
+        }
+        return df
+
+    edges = timed("edges", lambda: codekg.link_edges(candidates_all, alias_dim))
+    nodes = timed("nodes", lambda: codekg.canonicalize(candidates_all, alias_dim, edges))
+    timed(
+        "triples",
+        lambda: codekg.build_triples(candidates_all, nodes),
+        partition_by=["repo_bucket", "lang"],
+    )
+    metrics["triples"] = metrics["stages"]["triples"]["rows"]
+    for df in (mentions_new, candidates_new, new_pairs):
+        df.unpersist()
+    return metrics
+
+
 def run_avaluo_pipeline(
     spark: SparkSession,
     docs: DataFrame,
@@ -168,6 +292,11 @@ def main(argv=None) -> None:
     ap.add_argument("--buckets", type=int, default=64)
     ap.add_argument("--no-lsh", action="store_true")
     ap.add_argument(
+        "--append", action="store_true",
+        help="codekg: treat --input as NEW docs to append to an existing "
+        "warehouse (extract+link only the batch, rebuild global stages)",
+    )
+    ap.add_argument(
         "--pipeline", choices=["codekg", "avaluo"], default="codekg",
         help="codekg: repos_src(repo,path,commit,lang,content); "
         "avaluo: docs(doc_id,text) reference-fidelity extraction",
@@ -194,7 +323,8 @@ def main(argv=None) -> None:
         )
     else:
         repos_src = spark.read.parquet(args.input)
-        metrics = run_codekg_pipeline(
+        runner = run_codekg_pipeline_incremental if args.append else run_codekg_pipeline
+        metrics = runner(
             spark,
             repos_src,
             args.output,

@@ -195,6 +195,53 @@ def test_resume_refuses_changed_input(spark, repos_df, tmp_path):
         run_codekg_pipeline(spark, grown, out, run_id="r3", use_lsh=False)
 
 
+def test_incremental_append_matches_full_rebuild(spark, tmp_path):
+    """run_codekg_pipeline_incremental: extract+link only the new batch,
+    append, rebuild global stages -- final triples must be IDENTICAL to
+    a from-scratch run over the full corpus (incl. the LSH link stage:
+    linking is value-level with no cross-doc deps, canonicalization is
+    rebuilt globally). The additive input digest must let a subsequent
+    FULL run over old+new resume every stage; re-appending existing
+    docs must raise."""
+    from structured_data_entity_extraction_spark.pipeline import (
+        run_codekg_pipeline_incremental,
+    )
+
+    rows = repos_src_rows(200, seed=23)
+    mk = lambda rs: spark.createDataFrame(
+        [(r["repo"], r["path"], r["commit"], r["lang"], r["content"]) for r in rs],
+        REPOS_SRC,
+    )
+    df_a, df_b, df_ab = mk(rows[:160]), mk(rows[160:]), mk(rows)
+    inc_root, full_root = str(tmp_path / "inc"), str(tmp_path / "full")
+
+    run_codekg_pipeline(spark, df_a, inc_root, run_id="base", use_lsh=True)
+    m_inc = run_codekg_pipeline_incremental(
+        spark, df_b, inc_root, run_id="inc", use_lsh=True
+    )
+    assert m_inc["new_docs"] == 40
+    assert m_inc["stages"]["mentions"]["appended_rows"] > 0
+    assert m_inc["stages"]["triples"]["rebuilt"] is True
+
+    m_full = run_codekg_pipeline(spark, df_ab, full_root, run_id="f", use_lsh=True)
+    cols = ["subj", "pred", "obj", "doc_id", "repo", "lang", "content_sha", "conf"]
+    got = sorted(
+        map(tuple, spark.read.parquet(f"{inc_root}/triples/data").select(*cols).collect())
+    )
+    want = sorted(
+        map(tuple, spark.read.parquet(f"{full_root}/triples/data").select(*cols).collect())
+    )
+    assert got == want and m_inc["triples"] == m_full["triples"]
+
+    # additive digest: a FULL run over old+new now resumes everything
+    m_resume = run_codekg_pipeline(spark, df_ab, inc_root, run_id="r", use_lsh=True)
+    assert all(s["resumed"] for s in m_resume["stages"].values())
+
+    # append-only: re-sending already-ingested docs raises
+    with pytest.raises(RuntimeError, match="append-only"):
+        run_codekg_pipeline_incremental(spark, df_b, inc_root, run_id="dup")
+
+
 def test_determinism(spark, repos_df, tmp_path):
     """Same input twice -> identical triples (SURVEY.md §5 item 4)."""
     a = run_codekg_pipeline(spark, repos_df, str(tmp_path / "w1"), use_lsh=False)
