@@ -769,11 +769,13 @@ def _decontam_sql(k: int = 13) -> str:
 def _simhash_pairs_sql(max_hamming: int = 3) -> str:
     """ANSI-SQL twin of ops/dedup.simhash_pairs: 64-bit simhash per doc
     (md5 of each whitespace token, bit i weighted +-1, sign -> bit),
-    4x16-bit band candidate generation, exact popcount filter. Token
-    stream: lower, trim, split on RE2 \\s+ ([ \\t\\n\\f\\r] -- the
-    Python kernel uses the identical ASCII class, NOT str.split()'s
-    unicode whitespace), empty tokens dropped (zero-token docs get
-    sim = 0 unsigned)."""
+    Manku block-permute candidate generation (agree on >= 3 of 6
+    blocks, mirrored from ops/dedup.simhash_candidates -- recall is
+    exact by pigeonhole, so the candidate condition never changes the
+    result set), exact popcount filter. Token stream: lower, trim,
+    split on RE2 \\s+ ([ \\t\\n\\f\\r] -- the Python kernel uses the
+    identical ASCII class, NOT str.split()'s unicode whitespace), empty
+    tokens dropped (zero-token docs get sim = 0 unsigned)."""
     acc_cols = ",\n             ".join(
         f"sum(CASE WHEN (hv >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS a{i}"
         for i in range(64)
@@ -783,9 +785,21 @@ def _simhash_pairs_sql(max_hamming: int = 3) -> str:
         f"(CASE WHEN coalesce(a{i}, 0) > 0 THEN {1 << i}::UBIGINT ELSE 0::UBIGINT END)"
         for i in range(64)
     )
-    band_cond = " OR ".join(
-        f"((a.sim >> {16 * i}) & 65535) = ((b.sim >> {16 * i}) & 65535)"
-        for i in range(4)
+    # same 6 blocks as _simhash_blocks(6): four 11-bit then two 10-bit;
+    # "some 3-of-6 combo of blocks agrees" == "at least 3 blocks agree"
+    _blk, _off = [], 0
+    for _i in range(6):
+        _w = 11 if _i < 4 else 10
+        _blk.append((_off, _w))
+        _off += _w
+    band_cond = (
+        "("
+        + " + ".join(
+            f"(CASE WHEN ((a.sim >> {off}) & {(1 << w) - 1}) = "
+            f"((b.sim >> {off}) & {(1 << w) - 1}) THEN 1 ELSE 0 END)"
+            for off, w in _blk
+        )
+        + f") >= {6 - max_hamming}"
     )
     return f"""
         WITH toks AS (

@@ -136,6 +136,10 @@ class StageStore:
         # per-stage sha invariant alone cannot catch the append case)
         self.input_digest: str | None = None
         self.input_docs: int | None = None
+        # per-stage record of whether run_stage() read the checkpoint
+        # (True) or rebuilt (False) in THIS process -- run_id equality
+        # can't tell (re-running with the same --run-id is a resume too)
+        self.last_resumed: dict[str, bool] = {}
 
     def iceberg_ident(self, stage: str) -> str:
         return f"{self.iceberg_catalog}.{self.iceberg_namespace}.{stage}"
@@ -320,7 +324,9 @@ class StageStore:
                     "or appended documents. Use a fresh --output warehouse for "
                     "the new input, or delete the stage manifests to rebuild."
                 )
+            self.last_resumed[stage] = True
             return self.read(spark, stage)
+        self.last_resumed[stage] = False
         return self.write(build(), stage, partition_by)
 
     def lineage(self, spark: SparkSession, stage: str) -> DataFrame:

@@ -277,51 +277,105 @@ def simhash_udf(texts: pd.Series) -> pd.Series:
     return texts.map(lambda t: _simhash_np(_simhash_tokens(t)))
 
 
+def _simhash_blocks(n_blocks: int = 6, bits: int = _SIMHASH_BITS) -> list[tuple[int, int]]:
+    """(offset, width) per block, widths as even as possible (64/6 ->
+    four 11-bit + two 10-bit blocks)."""
+    base, extra = divmod(bits, n_blocks)
+    out, off = [], 0
+    for i in range(n_blocks):
+        w = base + (1 if i < extra else 0)
+        out.append((off, w))
+        off += w
+    return out
+
+
+def simhash_candidates(
+    h: DataFrame,
+    max_hamming: int = 3,
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """Candidate pairs (id_a, id_b, sim_a, sim_b) for a (doc_id, sim)
+    frame via Manku-style block-permute keys (Manku, Jain & Das Sarma,
+    "Detecting Near-Duplicates for Web Crawling", WWW'07): split the 64
+    bits into ``n_blocks`` blocks; a pair within ``max_hamming`` bits
+    differs in at most max_hamming blocks, so it agrees EXACTLY on some
+    combination of ``n_blocks - max_hamming`` whole blocks (pigeonhole
+    -- recall is 1.0, not probabilistic). Each doc explodes into
+    C(n_blocks, combo) rows keyed by ONE packed 64-bit long
+    (combo_id + the concatenated block values); a single self-join on
+    that key generates candidates.
+
+    Scale rationale vs the old per-band scheme: 4x16-bit band keys put
+    n/2^16 docs in a uniform bucket -- ~n^2/2^16 candidate pairs at
+    corpus scale (quadratic). 3-of-6 block keys are ~33 bits wide, so
+    uniform buckets hold n/2^33 docs: at 10^9 docs that is ~0.1 rows
+    per bucket, and the join output tracks the number of TRUE
+    near-dups, which any exact-recall scheme must pay for. More explode
+    rows (20x vs 4x) buy 2^17x smaller buckets -- linear cost for the
+    removal of the quadratic term.
+    """
+    if n_blocks is None:
+        # max_hamming + 3 keeps combos of size 3 (wide keys) at every
+        # threshold: 3 -> 6 blocks / C(6,3)=20 keys, 8 -> 11 blocks
+        n_blocks = max_hamming + 3
+    combo = n_blocks - max_hamming
+    if combo < 1:
+        raise ValueError(f"n_blocks={n_blocks} must exceed max_hamming={max_hamming}")
+    from itertools import combinations
+
+    blocks = _simhash_blocks(n_blocks)
+    block_cols = [
+        F.shiftrightunsigned("sim", off).bitwiseAND(F.lit((1 << w) - 1))
+        for (off, w) in blocks
+    ]
+    max_w = max(w for _, w in blocks)
+    # pack (combo_id, v_i, v_j, ...) into one long: combo values are
+    # <= 11 bits each, combo_id < C(6,3)=20 -> 3*11 + 5 = 38 bits used
+    keys = []
+    for ci, idxs in enumerate(combinations(range(n_blocks), combo)):
+        key = F.lit(ci).cast("long")
+        for bi in idxs:
+            key = F.shiftleft(key, max_w).bitwiseOR(block_cols[bi].cast("long"))
+        keys.append(key)
+    exploded = h.select(
+        "doc_id", "sim", F.explode(F.array(*[k.alias("k") for k in keys])).alias("bkey")
+    )
+    a, b = exploded.alias("a"), exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bkey") == F.col("b.bkey")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.sim").alias("sim_a"),
+            F.col("b.sim").alias("sim_b"),
+        )
+        .distinct()
+    )
+
+
 def simhash_pairs(
     df: DataFrame,
     max_hamming: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    n_blocks: int | None = None,
 ) -> DataFrame:
-    """(id_a, id_b, hamming) for pairs within max_hamming bits. Banding:
-    a pair within 3 bits of a 64-bit hash agrees exactly on at least one
-    of 4 16-bit bands -> join per band, distinct, exact popcount filter.
+    """(id_a, id_b, hamming) for pairs within max_hamming bits.
+    Candidate generation is Manku block-permute (see
+    ``simhash_candidates`` -- exact recall, ~33-bit join keys so bucket
+    sizes shrink 2^17x vs 16-bit bands); exact popcount filter after.
     """
     h = _ensure_parallelism(df).select(
         F.col(id_col).alias("doc_id"), simhash_udf(F.col(text_col)).alias("sim")
     )
-    # four band self-joins consume this frame 8x; without persistence
-    # each join side re-runs the simhash pUDF over the whole corpus
-    bands = h.select(
-        "doc_id",
-        "sim",
-        *[
-            (F.shiftrightunsigned("sim", 16 * i).bitwiseAND(F.lit(0xFFFF))).alias(f"b{i}")
-            for i in range(4)
-        ],
-    )
-    bands = persist_tracked(bands)
-    pair_frames = []
-    for i in range(4):
-        a = bands.alias("a")
-        b = bands.alias("b")
-        pair_frames.append(
-            a.join(
-                b,
-                (F.col(f"a.b{i}") == F.col(f"b.b{i}"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
-            ).select(
-                F.col("a.doc_id").alias("id_a"),
-                F.col("b.doc_id").alias("id_b"),
-                F.col("a.sim").alias("sim_a"),
-                F.col("b.sim").alias("sim_b"),
-            )
-        )
-    allpairs = pair_frames[0]
-    for f in pair_frames[1:]:
-        allpairs = allpairs.unionByName(f)
+    # the exploded frame feeds both self-join sides; without persistence
+    # each side re-runs the simhash pUDF over the whole corpus
+    h = persist_tracked(h)
     return (
-        allpairs.distinct()
+        simhash_candidates(h, max_hamming=max_hamming, n_blocks=n_blocks)
         .withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")

@@ -76,7 +76,7 @@ def run_codekg_pipeline(
         info = {
             "rows": store.manifest(stage)["rows"],
             "wall_s": round(time.time() - t0, 3),
-            "resumed": store.manifest(stage)["run_id"] != run_id,
+            "resumed": store.last_resumed.get(stage, False),
         }
         if "content_sha" in df.columns:
             info.update(sha_invariant_report(df, input_pairs, input_digest))

