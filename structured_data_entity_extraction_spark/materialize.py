@@ -140,6 +140,9 @@ class StageStore:
         # (True) or rebuilt (False) in THIS process -- run_id equality
         # can't tell (re-running with the same --run-id is a resume too)
         self.last_resumed: dict[str, bool] = {}
+        # True while THIS store instance holds the warehouse-level
+        # pending-append marker (append() then skips re-marking)
+        self._holding_pending = False
 
     def iceberg_ident(self, stage: str) -> str:
         return f"{self.iceberg_catalog}.{self.iceberg_namespace}.{stage}"
@@ -152,6 +155,85 @@ class StageStore:
 
     def is_complete(self, stage: str) -> bool:
         return os.path.exists(self.manifest_path(stage))
+
+    # ------------------------------------------ torn-append detection
+    #
+    # The plain-parquet append path is not atomic: data files land
+    # before the manifest swap. A warehouse-level pending marker brackets
+    # every append batch; a crash in between leaves the marker behind,
+    # and every later run_stage/append REFUSES with the recovery path
+    # (the stage data no longer matches its manifest identity, so the
+    # only safe recovery is rebuilding the appended stages). The Iceberg
+    # route commits snapshots atomically but shares the marker so the
+    # input-pairs sidecar stays transactionally consistent with it.
+
+    def pending_path(self) -> str:
+        return os.path.join(self.root, "_PENDING_APPEND.json")
+
+    def check_no_pending(self) -> None:
+        p = self.pending_path()
+        if os.path.exists(p):
+            with open(p, encoding="utf-8") as fh:
+                meta = json.load(fh)
+            raise RuntimeError(
+                f"warehouse {self.root} has a TORN APPEND (marker "
+                f"{p}: batch run_id={meta.get('run_id')} over stages "
+                f"{meta.get('stages')} started {meta.get('started_at')} and "
+                "never committed). Stage data may not match its manifest. "
+                "Recovery: delete the affected stage dirs (and the marker) "
+                "and re-run the full pipeline into this warehouse, or use a "
+                "fresh --output."
+            )
+
+    def begin_append(self, stages: list[str]) -> None:
+        self.check_no_pending()
+        os.makedirs(self.root, exist_ok=True)
+        with open(self.pending_path(), "w", encoding="utf-8") as fh:
+            json.dump(
+                {
+                    "stages": stages,
+                    "run_id": self.run_id,
+                    "started_at": time.strftime(
+                        "%Y-%m-%dT%H:%M:%SZ", time.gmtime()
+                    ),
+                },
+                fh,
+            )
+        self._holding_pending = True
+
+    def end_append(self) -> None:
+        self._holding_pending = False
+        if os.path.exists(self.pending_path()):
+            os.remove(self.pending_path())
+
+    # ------------------------------------------- input-identity sidecar
+    #
+    # The warehouse's exact input identity SET: distinct
+    # (doc_id, content_sha) pairs of every document ever ingested
+    # (full run writes it, appends extend it). The append-only overlap
+    # guard joins against THIS, not against extracted mentions -- a
+    # zero-mention doc (empty/comment-only content) has no mentions row
+    # but is still part of the input identity, and re-appending it must
+    # be refused or the additive digest double-counts.
+
+    def input_pairs_dir(self) -> str:
+        return os.path.join(self.root, "_input_pairs")
+
+    def has_input_pairs(self) -> bool:
+        return os.path.exists(os.path.join(self.input_pairs_dir(), "_SUCCESS"))
+
+    def write_input_pairs(self, pairs: DataFrame) -> None:
+        pairs.select("doc_id", "content_sha").write.mode("overwrite").parquet(
+            self.input_pairs_dir()
+        )
+
+    def append_input_pairs(self, pairs: DataFrame) -> None:
+        pairs.select("doc_id", "content_sha").write.mode("append").parquet(
+            self.input_pairs_dir()
+        )
+
+    def read_input_pairs(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.input_pairs_dir())
 
     def read(self, spark: SparkSession, stage: str) -> DataFrame:
         if self.iceberg_catalog:
@@ -237,6 +319,14 @@ class StageStore:
                 f"append requires a committed '{stage}' stage; run the full "
                 "pipeline first"
             )
+        # torn-append safety: data files land before the manifest swap,
+        # so bracket the append with the warehouse pending marker (a
+        # crash in between leaves the marker; every later resume/append
+        # refuses with the recovery path). A caller batching several
+        # stage appends holds one marker via begin_append/end_append.
+        own_marker = not self._holding_pending
+        if own_marker:
+            self.begin_append([stage])
         spark = df.sparkSession
         d = self._dir(stage)
         old = self.manifest(stage)
@@ -279,6 +369,8 @@ class StageStore:
         with open(tmp, "w", encoding="utf-8") as fh:
             json.dump(manifest, fh, indent=1)
         os.replace(tmp, self.manifest_path(stage))
+        if own_marker:
+            self.end_append()
         return persisted
 
     def invalidate(self, stage: str) -> None:
@@ -306,7 +398,10 @@ class StageStore:
         subset check (stages may legitimately drop zero-mention docs),
         so re-running an old warehouse over an APPENDED input would
         resume stale stages that silently miss every new document.
-        Old manifests without the field skip the check."""
+        Old manifests without the field skip the check. A torn append
+        (pending marker present) refuses BOTH branches -- the data
+        under a marked warehouse may not match any manifest."""
+        self.check_no_pending()
         if self.is_complete(stage):
             m = self.manifest(stage)
             recorded = m.get("input_sha_digest")

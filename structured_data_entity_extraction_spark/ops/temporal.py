@@ -49,7 +49,9 @@ def asof_join(
     NULL semantics: a right row whose value is NULL does not update the
     running state (last ignorenulls) -- the previous non-null value
     persists. Filter or impute the right side first if a NULL should
-    overwrite.
+    overwrite. A right row with NULL ``ts`` is DROPPED (it has no
+    as-of position); both paths share the filter, so default and
+    bucketed output are identical by construction.
 
     SKEW: the default path's running-last window is partitioned by
     ``key`` alone, so ONE hot key (a user with 50M events) serializes
@@ -64,7 +66,15 @@ def asof_join(
     with the carry-in as a synthetic first row. Identical output
     (oracle-checked on both paths), max task ≈ hot key's densest
     bucket."""
-    r = right.groupBy(key, ts).agg(*[F.max(c).alias(c) for c in value_cols])
+    # a right row with NULL ts has no as-of position: drop it up front
+    # so both paths agree by construction (the default path's
+    # nulls-first window would otherwise let it seed the running state,
+    # while the bucketed path's max_by would never carry it)
+    r = (
+        right.filter(F.col(ts).isNotNull())
+        .groupBy(key, ts)
+        .agg(*[F.max(c).alias(c) for c in value_cols])
+    )
     if bucket_s is None:
         lt = left.withColumn("_side", F.lit(1))
         rt = r.withColumn("_side", F.lit(0))

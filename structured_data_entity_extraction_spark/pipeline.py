@@ -55,20 +55,21 @@ def run_codekg_pipeline(
     # raw input (BASELINE.json:input_hint). A stage may legitimately drop
     # zero-mention docs (explode on []), so the check is "subset with no
     # sha mismatch", with the cheap digest-equality fast path.
-    input_keyed = repos_src.select(
-        F.sha2(
-            F.concat_ws("\x00", F.col("repo"), F.col("path"), F.col("commit")), 256
-        ).alias("doc_id"),
-        F.sha2(F.coalesce(F.col("content"), F.lit("")), 256).alias("content_sha"),
-    )
-    input_pairs = doc_sha_pairs(input_keyed).persist()
-    input_digest = doc_sha_digest(input_keyed)
+    input_pairs, input_digest = input_identity(repos_src)
+    input_pairs = input_pairs.persist()
     metrics["input_sha_digest"] = input_digest
     # stamp the input identity into every stage manifest: resume only
     # proceeds when the warehouse was built from THIS input (run_stage
     # raises otherwise -- the silent-stale-resume guard)
     store.input_digest = input_digest
     store.input_docs = input_pairs.count()
+    # input-identity sidecar: the exact (doc_id, content_sha) set this
+    # warehouse was built from -- append-only ingest joins new batches
+    # against it (a zero-mention doc has no mentions row but IS input).
+    # Write-if-missing: on resume the run_stage identity guard has
+    # already proven the existing sidecar describes this same input.
+    if not store.has_input_pairs():
+        store.write_input_pairs(input_pairs)
 
     def timed(stage, build, partition_by=None):
         t0 = time.time()
@@ -112,6 +113,197 @@ def run_codekg_pipeline(
     return metrics
 
 
+def input_identity(repos_src: DataFrame):
+    """(distinct (doc_id, content_sha) pairs, additive digest) of a raw
+    repos_src frame; doc_id = sha256(repo\\0path\\0commit). The digest
+    is an action (one aggregate collect)."""
+    keyed = repos_src.select(
+        F.sha2(
+            F.concat_ws("\x00", F.col("repo"), F.col("path"), F.col("commit")), 256
+        ).alias("doc_id"),
+        F.sha2(F.coalesce(F.col("content"), F.lit("")), 256).alias("content_sha"),
+    )
+    return doc_sha_pairs(keyed), doc_sha_digest(keyed)
+
+
+def ingest_repos_batch(
+    spark: SparkSession,
+    store: StageStore,
+    repos_src_batch: DataFrame,
+    bucket_count: int = 64,
+    use_lsh: bool = True,
+    alias_rows=None,
+) -> dict:
+    """Land ONE batch of documents in a warehouse -- the streaming
+    foreachBatch sink. An empty warehouse bootstraps the extract/link
+    stages (mentions, candidates) plus the input-identity sidecar;
+    a committed one takes the append-only path (``append_repos_batch``:
+    overlap guard, additive digest, torn-append marker). Corpus-global
+    stages (edges/nodes/triples) are NOT built per batch --
+    canonicalization is corpus-global, so a batch "finalize"
+    ``run_codekg_pipeline`` over the full input resumes
+    mentions/candidates from these checkpoints and builds only the
+    global stages."""
+    if store.is_complete("mentions"):
+        return append_repos_batch(
+            spark,
+            store,
+            repos_src_batch,
+            bucket_count=bucket_count,
+            use_lsh=use_lsh,
+            alias_rows=alias_rows,
+        )
+    pairs, digest = input_identity(repos_src_batch)
+    pairs = pairs.persist()
+    store.input_digest = digest
+    store.input_docs = pairs.count()
+    store.write_input_pairs(pairs)
+    metrics: dict = {
+        "run_id": store.run_id,
+        "mode": "bootstrap",
+        "new_docs": store.input_docs,
+        "input_sha_digest": digest,
+        "stages": {},
+    }
+    alias_dim = codekg.code_alias_dim(spark, alias_rows)
+    mentions = store.run_stage(
+        spark,
+        "mentions",
+        lambda: codekg.extract_code_mentions(repos_src_batch, bucket_count),
+        ["repo_bucket", "lang"],
+    )
+    candidates = store.run_stage(
+        spark,
+        "candidates",
+        lambda: codekg.link_mentions(mentions, alias_dim, use_lsh=use_lsh),
+        ["repo_bucket", "lang"],
+    )
+    for stage, df in (("mentions", mentions), ("candidates", candidates)):
+        rep = sha_invariant_report(df, pairs, digest)
+        if not rep["sha_invariant_ok"]:
+            raise RuntimeError(
+                f"content sha256 invariant violated at stage {stage}: "
+                f"{rep['bad_pairs']} (doc_id, content_sha) pairs not in input"
+            )
+        metrics["stages"][stage] = {
+            "rows": store.manifest(stage)["rows"],
+            **rep,
+        }
+    pairs.unpersist()
+    return metrics
+
+
+def append_repos_batch(
+    spark: SparkSession,
+    store: StageStore,
+    repos_src_new: DataFrame,
+    bucket_count: int = 64,
+    use_lsh: bool = True,
+    alias_rows=None,
+) -> dict:
+    """Append ONE batch of new documents to a committed warehouse --
+    the shared core of incremental batch ingest and the streaming
+    foreachBatch sink. Extracts + links ONLY the batch, appends to the
+    mentions/candidates stages inside one torn-append marker window,
+    extends the input-identity sidecar, folds the additive digest into
+    the manifests, and invalidates the corpus-global stages
+    (edges/nodes/triples) whose old checkpoints describe the
+    pre-append corpus. Rebuilding them is the caller's choice: the
+    incremental CLI rebuilds immediately; the streaming sink leaves
+    them invalidated so a batch "finalize" run over the union resumes
+    mentions/candidates and rebuilds only the global stages.
+
+    Overlap guard: new doc_ids are checked against the warehouse's
+    input-identity sidecar (every doc ever ingested, including
+    zero-mention docs); legacy warehouses without the sidecar fall
+    back to mentions-derived ids."""
+    for st in ("mentions", "candidates"):
+        if not store.is_complete(st):
+            raise RuntimeError(
+                f"incremental append requires a committed '{st}' stage; "
+                "run the full pipeline first"
+            )
+    store.check_no_pending()
+    old_m = store.manifest("mentions")
+    old_digest, old_docs = old_m.get("input_sha_digest"), old_m.get("input_docs")
+    if old_digest is None:
+        raise RuntimeError(
+            "warehouse predates input-identity manifests; re-run the full "
+            "pipeline once to stamp them before appending"
+        )
+
+    new_pairs, new_digest = input_identity(repos_src_new)
+    new_pairs = new_pairs.persist()
+    n_new = new_pairs.count()
+    if store.has_input_pairs():
+        existing_ids = store.read_input_pairs(spark).select("doc_id").distinct()
+    else:
+        existing_ids = store.read(spark, "mentions").select("doc_id").distinct()
+    n_overlap = new_pairs.join(existing_ids, "doc_id", "left_semi").count()
+    if n_overlap:
+        raise RuntimeError(
+            f"{n_overlap} of the {n_new} new docs already exist in the "
+            "warehouse: incremental ingest is append-only; re-extracting "
+            "changed documents needs a fresh warehouse (or delete + full run)"
+        )
+    store.input_digest = str(int(old_digest) + int(new_digest))
+    store.input_docs = int(old_docs) + n_new
+
+    metrics: dict = {
+        "run_id": store.run_id,
+        "mode": "incremental",
+        "new_docs": n_new,
+        "input_sha_digest": store.input_digest,
+        "stages": {},
+    }
+    alias_dim = codekg.code_alias_dim(spark, alias_rows)
+    # the new-batch frames feed both the append write and the
+    # downstream link/invariant -- persist so the extraction pUDF runs
+    # once per batch
+    mentions_new = codekg.extract_code_mentions(repos_src_new, bucket_count).persist()
+    candidates_new = codekg.link_mentions(
+        mentions_new, alias_dim, use_lsh=use_lsh
+    ).persist()
+    store.begin_append(["mentions", "candidates", "_input_pairs"])
+    for stage, df in (("mentions", mentions_new), ("candidates", candidates_new)):
+        t0 = time.time()
+        store.append(df, stage, ["repo_bucket", "lang"])
+        rep = sha_invariant_report(df, new_pairs, new_digest)
+        if not rep["sha_invariant_ok"]:
+            raise RuntimeError(
+                f"content sha256 invariant violated in appended batch at "
+                f"stage {stage}: {rep['bad_pairs']} pairs not in new input"
+            )
+        metrics["stages"][stage] = {
+            "appended_rows": store.manifest(stage)["rows"]
+            - store.manifest(stage)["appended_from_rows"],
+            "total_rows": store.manifest(stage)["rows"],
+            "wall_s": round(time.time() - t0, 3),
+            **rep,
+        }
+    if store.has_input_pairs():
+        store.append_input_pairs(new_pairs)
+    else:
+        # legacy warehouse: seed the sidecar with old (from mentions,
+        # best available) + new, so the NEXT append gets the exact guard
+        store.write_input_pairs(
+            store.read(spark, "mentions")
+            .select("doc_id", "content_sha")
+            .distinct()
+            .unionByName(new_pairs)
+            .distinct()
+        )
+    # the global stages describe the pre-append corpus; drop their
+    # checkpoints inside the marker window so a crash here still
+    # surfaces as a torn append rather than stale globals
+    for st in ("edges", "nodes", "triples"):
+        store.invalidate(st)
+    store.end_append()
+    for df in (mentions_new, candidates_new, new_pairs):
+        df.unpersist()
+    return metrics
+
+
 def run_codekg_pipeline_incremental(
     spark: SparkSession,
     repos_src_new: DataFrame,
@@ -139,79 +331,22 @@ def run_codekg_pipeline_incremental(
     subsequent FULL run over old+new input therefore resumes every
     stage cleanly, and the run_stage guard keeps refusing any other
     input. New docs must be genuinely new (doc_id overlap with the
-    existing mentions stage raises -- update-in-place is not append)."""
+    warehouse's input-identity sidecar raises -- update-in-place is
+    not append)."""
     store = StageStore(out_root, run_id=run_id, iceberg_catalog=iceberg_catalog)
-    for st in ("mentions", "candidates"):
-        if not store.is_complete(st):
-            raise RuntimeError(
-                f"incremental append requires a committed '{st}' stage; "
-                "run the full pipeline first"
-            )
-    old_m = store.manifest("mentions")
-    old_digest, old_docs = old_m.get("input_sha_digest"), old_m.get("input_docs")
-    if old_digest is None:
-        raise RuntimeError(
-            "warehouse predates input-identity manifests; re-run the full "
-            "pipeline once to stamp them before appending"
-        )
-
-    input_keyed = repos_src_new.select(
-        F.sha2(
-            F.concat_ws("\x00", F.col("repo"), F.col("path"), F.col("commit")), 256
-        ).alias("doc_id"),
-        F.sha2(F.coalesce(F.col("content"), F.lit("")), 256).alias("content_sha"),
+    metrics = append_repos_batch(
+        spark,
+        store,
+        repos_src_new,
+        bucket_count=bucket_count,
+        use_lsh=use_lsh,
+        alias_rows=alias_rows,
     )
-    new_pairs = doc_sha_pairs(input_keyed).persist()
-    new_digest = doc_sha_digest(input_keyed)
-    n_new = new_pairs.count()
-    existing_ids = store.read(spark, "mentions").select("doc_id").distinct()
-    n_overlap = new_pairs.join(existing_ids, "doc_id", "left_semi").count()
-    if n_overlap:
-        raise RuntimeError(
-            f"{n_overlap} of the {n_new} new docs already exist in the "
-            "warehouse: incremental ingest is append-only; re-extracting "
-            "changed documents needs a fresh warehouse (or delete + full run)"
-        )
-    store.input_digest = str(int(old_digest) + int(new_digest))
-    store.input_docs = int(old_docs) + n_new
-
-    metrics: dict = {
-        "run_id": run_id,
-        "mode": "incremental",
-        "new_docs": n_new,
-        "input_sha_digest": store.input_digest,
-        "stages": {},
-    }
-    alias_dim = codekg.code_alias_dim(spark, alias_rows)
-    # the new-batch frames feed both the append write and the
-    # downstream link/invariant -- persist so the extraction pUDF runs
-    # once per batch
-    mentions_new = codekg.extract_code_mentions(repos_src_new, bucket_count).persist()
-    candidates_new = codekg.link_mentions(
-        mentions_new, alias_dim, use_lsh=use_lsh
-    ).persist()
-    for stage, df in (("mentions", mentions_new), ("candidates", candidates_new)):
-        t0 = time.time()
-        store.append(df, stage, ["repo_bucket", "lang"])
-        rep = sha_invariant_report(df, new_pairs, new_digest)
-        if not rep["sha_invariant_ok"]:
-            raise RuntimeError(
-                f"content sha256 invariant violated in appended batch at "
-                f"stage {stage}: {rep['bad_pairs']} pairs not in new input"
-            )
-        metrics["stages"][stage] = {
-            "appended_rows": store.manifest(stage)["rows"]
-            - store.manifest(stage)["appended_from_rows"],
-            "total_rows": store.manifest(stage)["rows"],
-            "wall_s": round(time.time() - t0, 3),
-            **rep,
-        }
 
     # global stages rebuild from the union (their old manifests carry
     # the pre-append input identity, which run_stage would refuse)
+    alias_dim = codekg.code_alias_dim(spark, alias_rows)
     candidates_all = store.read(spark, "candidates")
-    for st in ("edges", "nodes", "triples"):
-        store.invalidate(st)
 
     def timed(stage, build, partition_by=None):
         t0 = time.time()
@@ -231,8 +366,6 @@ def run_codekg_pipeline_incremental(
         partition_by=["repo_bucket", "lang"],
     )
     metrics["triples"] = metrics["stages"]["triples"]["rows"]
-    for df in (mentions_new, candidates_new, new_pairs):
-        df.unpersist()
     return metrics
 
 

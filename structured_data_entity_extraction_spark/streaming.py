@@ -3,16 +3,28 @@ SURVEY.md §2.9 notes the stage-checkpoint design is micro-batch-shaped;
 this is that natural extension, built).
 
 ``stream_repos_src`` ingests new repos_src parquet files as they land
-(the "new commits" feed) and runs the extract stage per micro-batch via
-``foreachBatch``, appending to the mentions table. Batch and streaming
-share the exact same extraction code path, so correctness carries over;
-``availableNow`` triggers make it testable (and backfill-able) without
-a long-running query.
+(the "new commits" feed) and runs the extract+link stages per
+micro-batch via ``foreachBatch`` INTO THE STAGESTORE WAREHOUSE -- the
+same checkpoints, lineage rows, input-identity sidecar, and additive
+input digest as the batch incremental path (``pipeline.
+ingest_repos_batch``), so streamed documents fully participate in
+resume, the sha invariant, and the append-only overlap guard. Batch
+and streaming share the exact same extraction code path, so
+correctness carries over; ``availableNow`` triggers make it testable
+(and backfill-able) without a long-running query.
+
+Corpus-global stages (edges/nodes/triples) are not rebuilt per
+micro-batch -- canonicalization is corpus-global, so each append
+invalidates them and a periodic batch "finalize" run over the full
+input resumes mentions/candidates from the streamed checkpoints and
+rebuilds only the global stages (bit-for-bit equal to a from-scratch
+build; pytest-gated).
 
 At scale: one streaming query per corpus shard, checkpointLocation on
 durable storage gives exactly-once file-source progress; the
-foreachBatch write appends partitioned parquet keyed the same way as
-the batch pipeline ((repo_bucket, lang)).
+foreachBatch append writes partitioned parquet keyed the same way as
+the batch pipeline ((repo_bucket, lang)), bracketed by the
+torn-append marker.
 """
 
 from __future__ import annotations
@@ -22,20 +34,25 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from .codekg import extract_code_mentions
+from .materialize import StageStore
 from .schemas import REPOS_SRC
 
 
 def stream_repos_src(
     spark: SparkSession,
     input_path: str,
-    output_path: str,
+    warehouse_root: str,
     checkpoint_path: str,
     bucket_count: int = 64,
+    use_lsh: bool = True,
+    alias_rows=None,
     available_now: bool = True,
 ):
-    """File-source stream of repos_src parquet -> per-batch extract ->
-    partitioned mentions append. Returns the StreamingQuery."""
+    """File-source stream of repos_src parquet -> per-micro-batch
+    warehouse ingest (bootstrap on the first batch, append-only after).
+    Returns the StreamingQuery."""
+    from .pipeline import ingest_repos_batch
+
     stream = (
         spark.readStream.schema(REPOS_SRC)
         .option("maxFilesPerTrigger", 8)
@@ -43,11 +60,17 @@ def stream_repos_src(
     )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        mentions = extract_code_mentions(batch_df, bucket_count)
-        (
-            mentions.write.mode("append")
-            .partitionBy("repo_bucket", "lang")
-            .parquet(output_path)
+        if not batch_df.take(1):  # empty trigger: nothing to ingest
+            return
+        bspark = batch_df.sparkSession
+        store = StageStore(warehouse_root, run_id=f"stream-{batch_id}")
+        ingest_repos_batch(
+            bspark,
+            store,
+            batch_df,
+            bucket_count=bucket_count,
+            use_lsh=use_lsh,
+            alias_rows=alias_rows,
         )
 
     writer = stream.writeStream.foreachBatch(process_batch).option(

@@ -242,6 +242,77 @@ def test_incremental_append_matches_full_rebuild(spark, tmp_path):
         run_codekg_pipeline_incremental(spark, df_b, inc_root, run_id="dup")
 
 
+def test_append_guard_catches_zero_mention_docs(spark, tmp_path):
+    """The overlap guard joins the input-identity SIDECAR, not extracted
+    mentions: a doc whose content yields zero mentions (comment-only)
+    has no mentions row, but re-appending it must still be refused --
+    otherwise the additive digest double-counts it and a later full run
+    over the true union spuriously refuses to resume."""
+    from structured_data_entity_extraction_spark.pipeline import (
+        run_codekg_pipeline_incremental,
+    )
+
+    rows = repos_src_rows(30, seed=31)
+    base = spark.createDataFrame(
+        [(r["repo"], r["path"], r["commit"], r["lang"], r["content"]) for r in rows],
+        REPOS_SRC,
+    )
+    # empty python file: the mention explode on [] drops the doc
+    ghost = ("orgz/ghost", "notes/empty.py", "a" * 40, "python", "")
+    ghost_df = spark.createDataFrame([ghost], REPOS_SRC)
+    root = str(tmp_path / "w")
+    run_codekg_pipeline(
+        spark, base.unionByName(ghost_df), root, run_id="b", use_lsh=False
+    )
+    mentions = spark.read.parquet(f"{root}/mentions/data")
+    from pyspark.sql import functions as F
+
+    ghost_id = (
+        ghost_df.select(
+            F.sha2(F.concat_ws("\x00", "repo", "path", "commit"), 256).alias("d")
+        ).collect()[0]["d"]
+    )
+    assert mentions.filter(F.col("doc_id") == ghost_id).count() == 0  # truly zero-mention
+    with pytest.raises(RuntimeError, match="append-only"):
+        run_codekg_pipeline_incremental(spark, ghost_df, root, run_id="dup")
+
+
+def test_torn_append_marker_blocks_resume(spark, tmp_path):
+    """A crash between data append and manifest swap leaves the
+    warehouse pending marker; every later resume/append must refuse
+    with the recovery path instead of reading data that no longer
+    matches its manifest."""
+    import json as _json
+    import os as _os
+
+    from structured_data_entity_extraction_spark.materialize import StageStore
+    from structured_data_entity_extraction_spark.pipeline import (
+        run_codekg_pipeline_incremental,
+    )
+
+    rows = repos_src_rows(30, seed=32)
+    mk = lambda rs: spark.createDataFrame(
+        [(r["repo"], r["path"], r["commit"], r["lang"], r["content"]) for r in rs],
+        REPOS_SRC,
+    )
+    root = str(tmp_path / "w")
+    run_codekg_pipeline(spark, mk(rows[:20]), root, run_id="b", use_lsh=False)
+    # simulate the torn state: marker present, no committed batch
+    store = StageStore(root)
+    with open(store.pending_path(), "w", encoding="utf-8") as fh:
+        _json.dump(
+            {"stages": ["mentions"], "run_id": "crashed", "started_at": "x"}, fh
+        )
+    with pytest.raises(RuntimeError, match="TORN APPEND"):
+        run_codekg_pipeline(spark, mk(rows[:20]), root, run_id="r")
+    with pytest.raises(RuntimeError, match="TORN APPEND"):
+        run_codekg_pipeline_incremental(spark, mk(rows[20:]), root, run_id="i")
+    _os.remove(store.pending_path())
+    # clean again: resume works
+    m = run_codekg_pipeline(spark, mk(rows[:20]), root, run_id="r2", use_lsh=False)
+    assert all(s["resumed"] for s in m["stages"].values())
+
+
 def test_determinism(spark, repos_df, tmp_path):
     """Same input twice -> identical triples (SURVEY.md §5 item 4)."""
     a = run_codekg_pipeline(spark, repos_df, str(tmp_path / "w1"), use_lsh=False)

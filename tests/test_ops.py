@@ -463,6 +463,21 @@ def test_asof_join_planted(spark):
     }
     assert got == {1: 100.0, 2: 200.0, 3: None, 4: None}
 
+    # a right row with NULL ts has no as-of position: dropped, and both
+    # paths agree (default's nulls-first window must NOT let it seed
+    # the running state while the bucketed carry ignores it)
+    right_null = right.unionByName(
+        spark.createDataFrame(
+            [(10, None, 999.0)], "user_id long, ts timestamp, value double"
+        )
+    )
+    for kw in ({}, {"bucket_s": 60}):
+        got_n = {
+            r["event_id"]: r["value_asof"]
+            for r in temporal.asof_join(left, right_null, **kw).collect()
+        }
+        assert got_n == got, kw
+
 
 def test_interval_join_planted(spark):
     """Inclusive bounds on both ends; intervals crossing the bucket

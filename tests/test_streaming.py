@@ -17,38 +17,68 @@ def _write_input(spark, rows, path):
     df.coalesce(2).write.mode("append").parquet(path)
 
 
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [(r["repo"], r["path"], r["commit"], r["lang"], r["content"]) for r in rows],
+        REPOS_SRC,
+    )
+
+
 def test_stream_matches_batch(spark, tmp_path):
+    """Streaming ingest lands in the StageStore warehouse: the mentions
+    STAGE (not a raw sink) matches batch extraction, restart appends
+    only new files, and a batch finalize run over the union RESUMES the
+    streamed mentions/candidates (additive digest identity) and builds
+    triples bit-for-bit equal to a from-scratch warehouse."""
+    from structured_data_entity_extraction_spark.materialize import StageStore
+    from structured_data_entity_extraction_spark.pipeline import run_codekg_pipeline
+
     rows = repos_src_rows(80, seed=5)
     inp = str(tmp_path / "in")
-    out = str(tmp_path / "out")
+    wh = str(tmp_path / "wh")
     ckpt = str(tmp_path / "ckpt")
     _write_input(spark, rows[:50], inp)
 
-    q = stream_repos_src(spark, inp, out, ckpt)
+    q = stream_repos_src(spark, inp, wh, ckpt)
     q.awaitTermination(120)
 
-    got1 = spark.read.parquet(out)
-    batch_df = spark.createDataFrame(
-        [(r["repo"], r["path"], r["commit"], r["lang"], r["content"]) for r in rows[:50]],
-        REPOS_SRC,
-    )
-    want1 = codekg.extract_code_mentions(batch_df)
+    store = StageStore(wh)
+    got1 = store.read(spark, "mentions")
+    want1 = codekg.extract_code_mentions(_df(spark, rows[:50]))
     key = ["doc_id", "field", "value", "span_start"]
     assert sorted(map(tuple, got1.select(*key).collect())) == sorted(
         map(tuple, want1.select(*key).collect())
     )
+    assert store.is_complete("candidates")
+    assert store.has_input_pairs()
+    assert store.read_input_pairs(spark).count() == 50
 
-    # late-arriving files: restart picks up ONLY the new ones (checkpoint)
+    # late-arriving files: restart picks up ONLY the new ones
+    # (file-source checkpoint) and takes the append-only path
     _write_input(spark, rows[50:], inp)
-    q2 = stream_repos_src(spark, inp, out, ckpt)
+    q2 = stream_repos_src(spark, inp, wh, ckpt)
     q2.awaitTermination(120)
-    got2 = spark.read.parquet(out)
-    full_batch = spark.createDataFrame(
-        [(r["repo"], r["path"], r["commit"], r["lang"], r["content"]) for r in rows],
-        REPOS_SRC,
-    )
-    want2 = codekg.extract_code_mentions(full_batch)
+    got2 = store.read(spark, "mentions")
+    want2 = codekg.extract_code_mentions(_df(spark, rows))
     assert got2.count() == want2.count()  # no duplicates from reprocessing
+    assert store.read_input_pairs(spark).count() == 80
+
+    # batch finalize over the union: streamed stages RESUME (identity
+    # matches via the additive digest), only global stages build
+    m = run_codekg_pipeline(spark, _df(spark, rows), wh, run_id="finalize")
+    assert m["stages"]["mentions"]["resumed"] is True
+    assert m["stages"]["candidates"]["resumed"] is True
+    assert m["stages"]["triples"]["resumed"] is False
+
+    # bit-for-bit vs a from-scratch warehouse over the same 80 docs
+    scratch = str(tmp_path / "scratch")
+    run_codekg_pipeline(spark, _df(spark, rows), scratch, run_id="scratch")
+    tcols = StageStore(wh).read(spark, "triples").columns
+    got_t = sorted(map(tuple, StageStore(wh).read(spark, "triples").select(*tcols).collect()))
+    want_t = sorted(
+        map(tuple, StageStore(scratch).read(spark, "triples").select(*tcols).collect())
+    )
+    assert got_t == want_t
 
 
 def test_stream_dedup_exact_across_microbatches(spark, tmp_path):
