@@ -705,12 +705,15 @@ _MINHASH_PAIRS_SQL = _SHINGLES_CTE.format(filt="") + """
       JOIN bands b ON a.band = b.band AND a.key = b.key
                   AND a.doc_id < b.doc_id
     ),
-    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+    shh AS (
+      SELECT DISTINCT doc_id, substring(md5(shingle), 1, 16) AS hkey FROM sh
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM shh GROUP BY 1),
     common AS (
       SELECT c.id_a, c.id_b, count(*) AS n_common
       FROM cand c
-      JOIN sh a ON a.doc_id = c.id_a
-      JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+      JOIN shh a ON a.doc_id = c.id_a
+      JOIN shh b ON b.doc_id = c.id_b AND b.hkey = a.hkey
       GROUP BY 1, 2
     ),
     pairs AS (
@@ -1277,14 +1280,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ngram_jaccard_pairs": _SHINGLES_CTE.format(filt="")
         + """
-            , rare AS (
-              SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000
+            , shh AS (
+              SELECT DISTINCT doc_id, substring(md5(shingle), 1, 16) AS hkey FROM sh
             ),
-            shc AS (SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)),
+            rare AS (
+              SELECT hkey FROM shh GROUP BY hkey HAVING count(*) <= 1000
+            ),
+            shc AS (SELECT shh.doc_id, shh.hkey FROM shh JOIN rare USING (hkey)),
             sizes AS (SELECT doc_id, count(*) AS n_sh FROM shc GROUP BY 1),
             common AS (
               SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-              FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              FROM shc a JOIN shc b ON a.hkey = b.hkey AND a.doc_id < b.doc_id
               GROUP BY 1, 2
             )
             SELECT id_a, id_b,

@@ -89,19 +89,30 @@ def ngram_jaccard_pairs(
     the quadratic blowup that kills this join at corpus scale. The
     DuckDB oracle applies the identical cap. The threshold filter uses
     the UNROUNDED ratio (rounding happens only in the projected column)
-    so boundary values agree with the oracle."""
-    sh = _ensure_parallelism(df).select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(shingles_col(F.col(text_col), k)).alias("shingle"),
-    ).distinct()
+    so boundary values agree with the oracle.
+
+    Shingles cross the inverted-index shuffle + self-join as 8-byte
+    md5-prefix keys, not full k-gram strings (the decontam pattern:
+    ~3-10x fewer shuffle bytes at identical semantics; collision odds
+    ~n^2/2^64 are the same that bound every MinHash band here). The
+    oracle mirrors substring(md5(shingle), 1, 16)."""
+    sh = (
+        _ensure_parallelism(df)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(shingles_col(F.col(text_col), k)).alias("_s"),
+        )
+        .select("doc_id", F.unhex(F.substring(F.md5("_s"), 1, 16)).alias("hkey"))
+        .distinct()
+    )
     if df_cap:
         rare = (
-            sh.groupBy("shingle")
+            sh.groupBy("hkey")
             .agg(F.count("*").alias("_df"))
             .filter(F.col("_df") <= df_cap)
-            .select("shingle")
+            .select("hkey")
         )
-        sh = sh.join(rare, "shingle", "left_semi")
+        sh = sh.join(rare, "hkey", "left_semi")
     # the inverted index feeds three consumers (sizes, both join sides);
     # without persistence each re-runs the scan+shingle+cap subtree
     sh = persist_tracked(sh)
@@ -109,7 +120,7 @@ def ngram_jaccard_pairs(
     a = sh.alias("a")
     b = sh.alias("b")
     common = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(b, (F.col("a.hkey") == F.col("b.hkey")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .agg(F.count("*").alias("n_common"))
     )
@@ -203,8 +214,15 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
     )
-    ga = sh.select(F.col("doc_id").alias("id_a"), F.col("grams").alias("grams_a"))
-    gb = sh.select(F.col("doc_id").alias("id_b"), F.col("grams").alias("grams_b"))
+    # the exact rerank crosses its joins as arrays of 8-byte md5-prefix
+    # keys, not full gram strings (~3-10x fewer bytes; array_intersect/
+    # array_union are set ops, so a within-doc collision cannot change
+    # the ratio differently than the oracle's distinct hashed counts)
+    hgrams = F.array_distinct(
+        F.transform(F.col("grams"), lambda g: F.unhex(F.substring(F.md5(g), 1, 16)))
+    )
+    ga = sh.select(F.col("doc_id").alias("id_a"), hgrams.alias("grams_a"))
+    gb = sh.select(F.col("doc_id").alias("id_b"), hgrams.alias("grams_b"))
     ratio = F.size(F.array_intersect("grams_a", "grams_b")) / F.size(
         F.array_union("grams_a", "grams_b")
     )
