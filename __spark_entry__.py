@@ -380,6 +380,22 @@ def q_entity_cooccurrence(spark, sf_dir):
     return codekg.entity_cooccurrence(triples, pred="imports").orderBy("src", "dst")
 
 
+def q_entity_cooccurrence_exact(spark, sf_dir):
+    """exact_tail mode: the per-doc cap stops being a truncation and
+    becomes a ROUTING decision (under-cap docs in the bounded join
+    branch, over-cap docs isolated for AQE skew-split) -- the result
+    equals the UNCAPPED pair counts, so the oracle is the plain
+    uncapped SQL. max_per_doc=4 forces real traffic through the tail
+    branch on the fixture corpus."""
+    from structured_data_entity_extraction_spark import codekg
+
+    df = spark.read.parquet(_REPOS_FIXTURE)
+    triples = codekg.build_kg(df, use_lsh=True)
+    return codekg.entity_cooccurrence(
+        triples, pred="imports", max_per_doc=4, exact_tail=True
+    ).orderBy("src", "dst")
+
+
 # probe surface forms for the flagship fuzzy-link stage: planted
 # near-misses (the fixture's pandas2/reactjs/tokios/net\/https family),
 # exact dim aliases, threshold-boundary edits, and garbage that must
@@ -467,6 +483,21 @@ def q_value_percentiles(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+def q_value_percentiles_approx(spark, sf_dir):
+    """The 100 TB percentile path: approx_percentile's mergeable sketch
+    (O(accuracy) state per group vs exact percentile's full-group
+    buffer), validated IN-PLAN against its documented rank-error bound
+    -- each approx value must lie between the exact percentiles at
+    p -/+ 2/accuracy. The oracle twin states the contract (all TRUE);
+    see ops/stats.py."""
+    from structured_data_entity_extraction_spark.ops import stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return stats.percentile_contract_check(
+        ev, "event_type", "value", accuracy=1000
+    ).orderBy("event_type")
 
 
 def q_customer_quartiles(spark, sf_dir):
@@ -566,6 +597,38 @@ def q_ivf_topk(spark, sf_dir):
     )
 
 
+def _ivf_codebook() -> list[list[float]]:
+    """The pinned trained coarse quantizer (production IVF path):
+    16x64 centroids from tools/train_codebook.py's deterministic
+    spherical k-means (256 lowest-id sf0.01 embeddings, 10 Lloyd
+    iterations). Regenerate: python tools/train_codebook.py
+    <embeddings.parquet> structured_data_entity_extraction_spark/data/ivf_codebook.json 16 10 256"""
+    import json as _json
+
+    p = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "structured_data_entity_extraction_spark",
+        "data",
+        "ivf_codebook.json",
+    )
+    with open(p, encoding="utf-8") as fh:
+        return _json.load(fh)
+
+
+def q_ivf_codebook_topk(spark, sf_dir):
+    """IVF with the TRAINED codebook -- the path a real deployment
+    runs (offline k-means, centroids broadcast as literals); the
+    codebook-less default quantizer is only the ad-hoc fallback."""
+    emb = _emb(spark, sf_dir)
+    return (
+        similarity.ivf_topk(
+            emb, emb.filter(F.col("vec_id") < 3), k=10, codebook=_ivf_codebook()
+        )
+        .select("query_id", "rank", "vec_id", F.round("cos", 4).alias("cos_r"))
+        .orderBy("query_id", "rank")
+    )
+
+
 def q_lsh_topk(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     return (
@@ -637,10 +700,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_report": q_decontam_report,
         "repetition_signals": q_repetition_signals,
         "entity_cooccurrence": q_entity_cooccurrence,
+        "entity_cooccurrence_exact": q_entity_cooccurrence_exact,
         "asof_join_last_purchase": q_asof_join,
         "asof_join_bucketed": q_asof_join_bucketed,
         "interval_join_signup_window": q_interval_join,
         "value_percentiles": q_value_percentiles,
+        "value_percentiles_approx": q_value_percentiles_approx,
         "customer_quartiles": q_customer_quartiles,
         "codekg_lsh_alias_map": q_codekg_lsh_alias_map,
         "deterministic_sample_docs": q_deterministic_sample,
@@ -655,6 +720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": q_simhash_pairs,
         "ann_lsh_topk": q_lsh_topk,
         "ann_ivf_topk": q_ivf_topk,
+        "ann_ivf_codebook_topk": q_ivf_codebook_topk,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -1081,6 +1147,59 @@ def _codekg_triples_sql() -> str:
     """
 
 
+def _ivf_body_sql(k: int, n_probe: int) -> str:
+    """The quantize/probe/rerank tail shared by both IVF oracles --
+    expects preceding CTEs ``emb(vec_id, v)`` and ``cents(cell, cv)``."""
+    return f"""
+        corpus_cell AS (
+          SELECT vec_id, v, cell FROM (
+            SELECT e.vec_id, e.v, c.cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell ASC) AS rn
+            FROM emb e CROSS JOIN cents c
+          ) WHERE rn = 1
+        ),
+        qcells AS (
+          SELECT vec_id AS query_id, v AS qv, cell FROM (
+            SELECT e.vec_id, e.v, c.cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell ASC) AS rn
+            FROM emb e CROSS JOIN cents c WHERE e.vec_id < 3
+          ) WHERE rn <= {n_probe}
+        ),
+        ranked AS (
+          SELECT query_id, vec_id, list_cosine_similarity(qv, v) AS cos,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY list_cosine_similarity(qv, v) DESC, vec_id ASC) AS rank
+          FROM corpus_cell cc JOIN qcells qc USING (cell)
+          WHERE cc.vec_id != qc.query_id
+        )
+        SELECT query_id, rank, vec_id, round(cos, 4) AS cos_r
+        FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+    """
+
+
+def _ann_ivf_codebook_sql(k: int = 10, n_probe: int = 4) -> str:
+    """Pure-DuckDB twin of similarity.ivf_topk(codebook=...) -- the
+    PRODUCTION quantizer: the pinned trained codebook
+    (data/ivf_codebook.json, from tools/train_codebook.py's
+    deterministic spherical k-means) embedded as literal VALUES on the
+    oracle side, exactly as the engine embeds it as literal arrays.
+    Same quantize/probe/rerank algorithm as the default-path oracle."""
+    cb = _ivf_codebook()
+    cents = ", ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in cv)}]::DOUBLE[])"
+        for i, cv in enumerate(cb)
+    )
+    return (
+        f"""
+        WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        cents(cell, cv) AS (VALUES {cents}),
+        """
+        + _ivf_body_sql(k, n_probe)
+    )
+
+
 def _ann_ivf_sql(k: int = 10, n_centroids: int = 16, n_probe: int = 4) -> str:
     """Pure-DuckDB twin of similarity.ivf_topk with the default
     (codebook-less) quantizer: centroids = the n_centroids lowest-id
@@ -1468,6 +1587,14 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(value, 0.99), 6) AS p99
             FROM events GROUP BY event_type ORDER BY event_type
         """,
+        # approx_percentile's exact output is implementation-defined;
+        # the SQL-expressible statement is its rank-error CONTRACT,
+        # which the Spark side validates in-plan (ops/stats.py)
+        "value_percentiles_approx": """
+            SELECT event_type,
+                   TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
         "customer_quartiles": """
             SELECT c_custkey, c_nationkey,
                    ntile(4) OVER w AS quartile,
@@ -1531,6 +1658,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.doc_id, n_lines, dup_line_ratio, dup_word_ratio, top_word_ratio
             FROM arr a JOIN top USING (doc_id) ORDER BY doc_id
         """,
+        # exact_tail mode == uncapped counts: no cap CTE at all
+        "entity_cooccurrence_exact": f"""
+            WITH t AS ({_codekg_triples_sql()}),
+            e AS (
+              SELECT DISTINCT doc_id, obj FROM t WHERE pred = 'imports'
+            )
+            SELECT a.obj AS src, b.obj AS dst, count(*) AS n_docs
+            FROM e a JOIN e b ON a.doc_id = b.doc_id AND a.obj < b.obj
+            GROUP BY 1, 2 ORDER BY src, dst
+        """,
         # co-occurrence logic composed over the FULL pipeline SQL (no
         # golden parquet anywhere in this oracle's chain since r4)
         "entity_cooccurrence": f"""
@@ -1568,6 +1705,7 @@ def oracle_sql() -> dict[str, str]:
         # make_goldens cross-checks
         "ann_lsh_topk": _ann_lsh_sql(),
         "ann_ivf_topk": _ann_ivf_sql(),
+        "ann_ivf_codebook_topk": _ann_ivf_codebook_sql(),
         "multimodal_features": _golden_oracle(
             "multimodal_features",
             "asset_id, kind, n_bytes, dec_width, dec_height, dec_sample_rate,"

@@ -136,7 +136,15 @@ def run(master: str, sf_dir: str) -> dict:
         # >1.3 means the box was bursty during the run; the best-of
         # totals remain comparable round-over-round regardless
         "median_over_best": round(total_median / total, 3) if total else None,
-        "wall_total_s": wall,  # includes input prep + warmup + all rounds
+        "wall_total_s": wall,
+        # self-description: wall_total_s is NOT comparable to `value`
+        # -- it covers warmup + every interleaved repeat, while `value`
+        # sums the per-query best-of (the engine's quiet-box time)
+        "wall_includes_warmup_and_repeats": True,
+        "wall_timed_s": round(sum(sum(ts) for ts in samples.values()), 3),
+        "wall_overhead_s": round(
+            wall - sum(sum(ts) for ts in samples.values()), 3
+        ),
         "kg_triples_per_sec": round(kg_triples / kg_secs, 1) if kg_secs else None,
     }
     spark.stop()

@@ -213,6 +213,42 @@ def char_ngrams_col(value, n: int = 3):
     )
 
 
+def _lsh_band_candidates(
+    vg: DataFrame, dg: DataFrame, num_hashes: int = 16
+) -> DataFrame:
+    """Band-join candidate stage of ``lsh_alias_map``, factored so the
+    dim-growth property test can assert its output volume directly:
+    (value, alias, canonical) pairs where any of the ``num_hashes``
+    r=1 minhash bands agree. Expects ``vg(value, grams)`` and
+    ``dg(alias, canonical, grams)``. A pair can collide on several
+    bands, hence the distinct (real dedup here, unlike the
+    single-bucket ANN joins)."""
+    from .ops.dedup import minhash_col
+
+    def banded(df: DataFrame, *keep: str) -> DataFrame:
+        mins = [minhash_col(F.col("grams"), i).alias(f"h{i}") for i in range(num_hashes)]
+        sigs = df.select(*keep, *mins)
+        entries = F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("band"),
+                    F.md5(F.concat_ws("|", F.col(f"h{i}"))).alias("key"),
+                )
+                for i in range(num_hashes)
+            ]
+        )
+        return sigs.select(*keep, F.explode(entries).alias("bk")).select(
+            *keep, "bk.band", "bk.key"
+        )
+
+    return (
+        banded(vg, "value")
+        .join(F.broadcast(banded(dg, "alias", "canonical")), ["band", "key"])
+        .select("value", "alias", "canonical")
+        .distinct()
+    )
+
+
 def lsh_alias_map(
     values: DataFrame,
     alias_dim: DataFrame,
@@ -235,7 +271,6 @@ def lsh_alias_map(
     from pyspark.sql import Window
 
     from .ops.cache import persist_tracked
-    from .ops.dedup import minhash_col
 
     # grams feed the signature branch AND the rerank; values is the
     # distinct-miss set (value-level, small relative to mentions)
@@ -243,32 +278,7 @@ def lsh_alias_map(
     dg = alias_dim.select("alias", "canonical").withColumn(
         "grams", char_ngrams_col(F.col("alias"))
     )
-
-    def banded(df: DataFrame, *keep: str) -> DataFrame:
-        mins = [minhash_col(F.col("grams"), i).alias(f"h{i}") for i in range(num_hashes)]
-        sigs = df.select(*keep, *mins)
-        entries = F.array(
-            *[
-                F.struct(
-                    F.lit(i).alias("band"),
-                    F.md5(F.concat_ws("|", F.col(f"h{i}"))).alias("key"),
-                )
-                for i in range(num_hashes)
-            ]
-        )
-        return sigs.select(*keep, F.explode(entries).alias("bk")).select(
-            *keep, "bk.band", "bk.key"
-        )
-
-    # candidate pairs: any band (= any minhash) agrees; a pair can
-    # collide on several bands, hence the distinct (real dedup here,
-    # unlike the single-bucket ANN joins)
-    cand = (
-        banded(vg, "value")
-        .join(F.broadcast(banded(dg, "alias", "canonical")), ["band", "key"])
-        .select("value", "alias", "canonical")
-        .distinct()
-    )
+    cand = _lsh_band_candidates(vg, dg, num_hashes)
     dim_grams = dg.select(F.col("alias").alias("r_alias"), F.col("grams").alias("dgrams"))
     jac = F.size(F.array_intersect("grams", "dgrams")) / F.size(
         F.array_union("grams", "dgrams")
@@ -420,7 +430,10 @@ def build_kg(
 
 
 def entity_cooccurrence(
-    triples: DataFrame, pred: str = "imports", max_per_doc: int = 256
+    triples: DataFrame,
+    pred: str = "imports",
+    max_per_doc: int = 256,
+    exact_tail: bool = False,
 ) -> DataFrame:
     """KG analytics over the triple table: (src, dst, n_docs) edges
     between canonical entities co-mentioned in the same document under
@@ -442,7 +455,15 @@ def entity_cooccurrence(
     edges involving those entities undercounts by that doc -- the
     count is bounded-wrong, not silently absent: the truncation report
     names exactly the docs where this applies; raise or disable the
-    cap if they matter."""
+    cap if they matter.
+
+    ``exact_tail=True`` removes the bounded-wrong caveat entirely: the
+    result equals the UNCAPPED pair counts, but the few over-cap docs
+    (few by definition -- they exceed max_per_doc distinct entities)
+    are split into their own join branch, so their m^2 fanout is
+    isolated where AQE skew-split can spread it instead of hiding
+    inside the bulk join's partitions. Under-cap docs keep the bounded
+    N*(N-1)/2 fanout guarantee."""
     from pyspark.sql import Window
 
     e = (
@@ -450,22 +471,34 @@ def entity_cooccurrence(
         .select("doc_id", "obj")
         .distinct()
     )
-    if max_per_doc:
-        w = Window.partitionBy("doc_id").orderBy(F.asc("obj"))
-        e = (
-            e.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= max_per_doc)
-            .drop("_rn")
-        )
-    a, b = e.alias("a"), e.alias("b")
-    return (
-        a.join(
+
+    def pairs(frame: DataFrame) -> DataFrame:
+        a, b = frame.alias("a"), frame.alias("b")
+        return a.join(
             b,
             (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("a.obj") < F.col("b.obj")),
+        ).select(F.col("a.obj").alias("src"), F.col("b.obj").alias("dst"))
+
+    if max_per_doc and exact_tail:
+        over_cap = (
+            e.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > max_per_doc)
+            .select("doc_id")
         )
-        .groupBy(F.col("a.obj").alias("src"), F.col("b.obj").alias("dst"))
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-    )
+        head = e.join(over_cap, "doc_id", "left_anti")
+        tail = e.join(over_cap, "doc_id", "left_semi")
+        all_pairs = pairs(head).unionByName(pairs(tail))
+    else:
+        if max_per_doc:
+            w = Window.partitionBy("doc_id").orderBy(F.asc("obj"))
+            e = (
+                e.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= max_per_doc)
+                .drop("_rn")
+            )
+        all_pairs = pairs(e)
+    return all_pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n_docs"))
 
 
 def cooccurrence_truncation_report(

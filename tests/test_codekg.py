@@ -445,6 +445,50 @@ def test_lsh_recall_holds_across_alias_lengths(spark):
         assert recall >= 0.95, f"recall {recall:.2f} at alias length {length}"
 
 
+def test_lsh_candidate_volume_linear_in_misses(spark):
+    """Property gate (VERDICT r4 #8): the band join's candidate count
+    stays ~LINEAR in |misses| against a 10k-row dim -- the evidence
+    behind link_mentions' 'broadcast the lsh map, dimension-sized at
+    any corpus scale' claim. Probe sets are nested prefixes (250 ⊂ 500
+    ⊂ 1000 mixed mutated-alias + garbage values), so candidates-per-
+    miss must hold roughly constant as |misses| quadruples; a
+    super-linear blowup here would mean band buckets degenerate."""
+    import random
+    import string
+
+    from pyspark.sql import functions as F
+
+    rng = random.Random(11)
+
+    def word(n=12):
+        return "".join(rng.choice(string.ascii_lowercase) for _ in range(n))
+
+    dim_rows = [(word(), f"c{i}") for i in range(10_000)]
+    probes = []
+    for i in range(1000):
+        if i % 2 == 0:
+            alias = dim_rows[rng.randrange(len(dim_rows))][0]
+            pos = rng.randrange(2, len(alias) - 2)
+            sub = rng.choice([c for c in string.ascii_lowercase if c != alias[pos]])
+            probes.append(alias[:pos] + sub + alias[pos + 1 :])
+        else:
+            probes.append(word())
+    dg = spark.createDataFrame(dim_rows, "alias string, canonical string").withColumn(
+        "grams", codekg.char_ngrams_col(F.col("alias"))
+    )
+    per_miss = {}
+    for m in (250, 500, 1000):
+        vg = spark.createDataFrame(
+            [(v,) for v in probes[:m]], "value string"
+        ).withColumn("grams", codekg.char_ngrams_col(F.col("value")))
+        n_cand = codekg._lsh_band_candidates(vg, dg).count()
+        per_miss[m] = n_cand / m
+    # bounded per-miss fanout, and no super-linear growth across a 4x
+    # miss-set scale-up (ratio of per-miss rates stays near 1)
+    assert all(r <= 64 for r in per_miss.values()), per_miss
+    assert per_miss[1000] <= 2.0 * per_miss[250] + 1, per_miss
+
+
 def test_entity_cooccurrence_cap_bounds_mega_doc(spark):
     """VERDICT r3 #4: a planted imports-everything doc (500 distinct
     imports) must emit at most C(cap, 2) pairs, the truncation report
@@ -472,6 +516,40 @@ def test_entity_cooccurrence_cap_bounds_mega_doc(spark):
         codekg.entity_cooccurrence(triples, max_per_doc=0).count()
         == 500 * 499 // 2 + 3
     )
+
+
+def test_entity_cooccurrence_exact_tail_matches_uncapped(spark):
+    """VERDICT r4 #7: exact_tail=True routes a planted 2k-import doc
+    through the isolated tail branch and yields EXACTLY the uncapped
+    pair counts -- n_docs is never bounded-wrong -- while shared pairs
+    across branches still sum correctly."""
+    mega = [("mega", "imports", f"mod{i:04d}") for i in range(2000)]
+    # overlap: a/b also appear in the mega doc -> the (a, b)-style edges
+    # must sum across the head and tail branches
+    small = [("small", "imports", m) for m in ("mod0000", "mod0001", "zzz")]
+    tiny = [("tiny", "imports", m) for m in ("mod0000", "mod0001")]
+    triples = spark.createDataFrame(
+        mega + small + tiny, "doc_id string, pred string, obj string"
+    )
+    want = {
+        (r["src"], r["dst"]): r["n_docs"]
+        for r in codekg.entity_cooccurrence(triples, max_per_doc=0).collect()
+    }
+    got = {
+        (r["src"], r["dst"]): r["n_docs"]
+        for r in codekg.entity_cooccurrence(
+            triples, max_per_doc=64, exact_tail=True
+        ).collect()
+    }
+    assert got == want
+    assert got[("mod0000", "mod0001")] == 3  # mega + small + tiny
+    # whereas the plain cap undercounts that edge (mega truncated away)
+    capped = {
+        (r["src"], r["dst"]): r["n_docs"]
+        for r in codekg.entity_cooccurrence(triples, max_per_doc=2).collect()
+    }
+    assert capped[("mod0000", "mod0001")] == 3  # first-2-by-obj keeps these
+    assert len(capped) < len(want)
 
 
 def test_empty_content_doc_does_not_abort(spark, tmp_path):

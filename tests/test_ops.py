@@ -439,6 +439,34 @@ def test_sample_frames_zero_frame_video(spark):
     assert got == {"bad": -1}
 
 
+def test_approx_percentile_bounds_sf01(spark):
+    """The scale-path percentile sketch honors its rank-error contract
+    on the sf0.1 events table: every approx_percentile value lies
+    between the exact percentiles at p -/+ 2/accuracy, per group."""
+    import os
+
+    from structured_data_entity_extraction_spark.ops import stats
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if not os.path.exists(f"{sf_dir}/events.parquet"):
+        pytest.skip("sf0.1 testdata not present")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    rows = stats.percentile_contract_check(
+        ev, "event_type", "value", accuracy=1000
+    ).collect()
+    assert rows
+    for r in rows:
+        d = r.asDict()
+        assert all(v for c, v in d.items() if c.endswith("_ok")), d
+    # the exact and approx operators agree on the group set + schema
+    exact = stats.group_percentiles(ev, "event_type", "value")
+    approx = stats.group_percentiles(ev, "event_type", "value", exact=False)
+    assert exact.columns == approx.columns
+    assert {r["event_type"] for r in exact.select("event_type").collect()} == {
+        r["event_type"] for r in approx.select("event_type").collect()
+    }
+
+
 def test_asof_join_planted(spark):
     """Tie at equal ts takes the right row; duplicate right timestamps
     collapse deterministically (max); no prior right row -> NULL;
