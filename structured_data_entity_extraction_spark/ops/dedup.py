@@ -183,6 +183,16 @@ def minhash_lsh_pairs(
         )
         .filter(F.size("grams") > 0)
     )
+    # hashed grams computed ONCE here (inside the persist) -- both
+    # rerank join sides reuse them, instead of re-hashing every gram
+    # per side. No array_distinct: grams are distinct per doc already,
+    # and array_intersect/array_union dedupe their OUTPUT anyway, so a
+    # 2^-64 within-doc hash collision still yields the oracle's
+    # distinct-count ratio
+    sh = sh.withColumn(
+        "hgrams",
+        F.transform(F.col("grams"), lambda g: F.unhex(F.substring(F.md5(g), 1, 16))),
+    )
     sh = persist_tracked(sh)
     mins = [minhash_col(F.col("grams"), i).alias(f"h{i}") for i in range(num_hashes)]
     sigs = sh.select("doc_id", *mins)
@@ -218,11 +228,8 @@ def minhash_lsh_pairs(
     # keys, not full gram strings (~3-10x fewer bytes; array_intersect/
     # array_union are set ops, so a within-doc collision cannot change
     # the ratio differently than the oracle's distinct hashed counts)
-    hgrams = F.array_distinct(
-        F.transform(F.col("grams"), lambda g: F.unhex(F.substring(F.md5(g), 1, 16)))
-    )
-    ga = sh.select(F.col("doc_id").alias("id_a"), hgrams.alias("grams_a"))
-    gb = sh.select(F.col("doc_id").alias("id_b"), hgrams.alias("grams_b"))
+    ga = sh.select(F.col("doc_id").alias("id_a"), F.col("hgrams").alias("grams_a"))
+    gb = sh.select(F.col("doc_id").alias("id_b"), F.col("hgrams").alias("grams_b"))
     ratio = F.size(F.array_intersect("grams_a", "grams_b")) / F.size(
         F.array_union("grams_a", "grams_b")
     )
