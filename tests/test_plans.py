@@ -110,3 +110,46 @@ def test_link_mentions_plan_has_no_pyspark_ml(spark):
         if "EvalPython" in line:
             assert "extract_code_udf" in line, line
     assert "BatchEvalPython" not in p  # no row-at-a-time UDF ever
+
+
+def test_simhash_candidates_plan_is_one_join(spark):
+    """r5 Manku block-permute 'done' criterion: candidate generation is
+    ONE equi-join on a single packed long key -- not the old 4-branch
+    band-join union (whose per-branch 16-bit keys were the quadratic
+    hazard). Exactly one join node, zero Union nodes."""
+    from structured_data_entity_extraction_spark.ops import dedup
+
+    h = spark.createDataFrame([(1, 7), (2, 9)], "doc_id long, sim long")
+    p = _plan(dedup.simhash_candidates(h, max_hamming=3))
+    join_lines = [ln for ln in p.splitlines() if "Join" in ln]
+    assert len(join_lines) == 1, join_lines
+    assert "Union" not in p
+    assert "NestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
+def test_cooccurrence_exact_tail_plan_splits_branches(spark):
+    """exact_tail routes over-cap docs into a separate join branch:
+    the plan contains a Union of two keyed joins plus the anti/semi
+    routing joins -- and still no nested loop anywhere."""
+    from structured_data_entity_extraction_spark import codekg
+
+    t = spark.createDataFrame(
+        [("d", "imports", "x"), ("d", "imports", "y")],
+        "doc_id string, pred string, obj string",
+    )
+    p = _plan(codekg.entity_cooccurrence(t, max_per_doc=8, exact_tail=True))
+    assert "Union" in p
+    assert "NestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
+def test_percentile_contract_plan_is_single_aggregate(spark):
+    """The approx-percentile contract check is one groupBy: a single
+    shuffle (the aggregation exchange), no join, no window."""
+    from structured_data_entity_extraction_spark.ops import stats
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0)], "event_type string, value double"
+    )
+    p = _plan(stats.percentile_contract_check(df, "event_type", "value"))
+    assert "Join" not in p and "Window" not in p
+    assert p.count("Exchange") <= 2  # partial agg + final agg exchange
