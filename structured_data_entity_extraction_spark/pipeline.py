@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -443,10 +444,44 @@ def main(argv=None) -> None:
         help="route stage data through Iceberg writeTo on this catalog "
         "(catalog-present clusters only)",
     )
+    ap.add_argument(
+        "--stream", action="store_true",
+        help="codekg: treat --input as a DIRECTORY watched by Structured "
+        "Streaming (availableNow drain): each micro-batch of new parquet "
+        "files lands in the warehouse via the bootstrap/append ingest "
+        "path; finalize with a later plain run over the full input",
+    )
+    ap.add_argument(
+        "--checkpoint", default=None,
+        help="streaming checkpoint location (default <output>/_stream_ckpt)",
+    )
     args = ap.parse_args(argv)
 
     spark = get_spark(f"structured-data-entity-extraction-{args.pipeline}")
     t0 = time.time()
+    if args.stream:
+        from .materialize import StageStore
+        from .streaming import stream_repos_src
+
+        ckpt = args.checkpoint or os.path.join(args.output, "_stream_ckpt")
+        q = stream_repos_src(
+            spark, args.input, args.output, ckpt,
+            bucket_count=args.buckets, use_lsh=not args.no_lsh,
+        )
+        q.awaitTermination()
+        store = StageStore(args.output)
+        metrics = {
+            "mode": "stream",
+            "checkpoint": ckpt,
+            "stages": {
+                st: {"rows": store.manifest(st)["rows"]}
+                for st in ("mentions", "candidates")
+                if store.is_complete(st)
+            },
+        }
+        metrics["total_wall_s"] = round(time.time() - t0, 3)
+        print(json.dumps(metrics))
+        return
     if args.pipeline == "avaluo":
         docs = spark.read.parquet(args.input)
         metrics = run_avaluo_pipeline(
