@@ -65,7 +65,11 @@ def main():
         "interval_join_signup_window",
         "decontam_report",
         "entity_cooccurrence",
+        "entity_cooccurrence_exact",
         "top_orders_by_lines",
+        "simhash_pairs",
+        "ann_ivf_codebook_topk",
+        "value_percentiles_approx",
     ):
         audit(name, qs[name](spark, sf_dir))
     spark.stop()
