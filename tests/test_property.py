@@ -162,3 +162,45 @@ def test_y4m_codec_roundtrip_property(w, h, n_frames, cspace, data):
     vid = mc.decode_y4m(mc.encode_y4m(w, h, frames, cspace=cspace))
     assert (vid["width"], vid["height"], vid["n_frames"]) == (w, h, n_frames)
     assert [bytes(p) for p in vid["y_planes"]] == frames
+
+
+@settings(**_SETTINGS)
+@given(
+    sim=st.integers(0, (1 << 64) - 1),
+    flips=st.lists(st.integers(0, 63), min_size=0, max_size=3, unique=True),
+)
+def test_manku_block_agreement_property(sim, flips):
+    """The pigeonhole behind simhash_candidates: ANY pair within
+    hamming 3 of a 64-bit hash agrees exactly on >= 3 of the 6 blocks
+    _simhash_blocks(6) defines -- validated on the same offsets/widths
+    the Spark bit-slicing uses, so an off-by-one in the block layout
+    cannot silently cost recall."""
+    from structured_data_entity_extraction_spark.ops.dedup import _simhash_blocks
+
+    other = sim
+    for b in flips:
+        other ^= 1 << b
+    blocks = _simhash_blocks(6)
+    agree = sum(
+        1
+        for off, w in blocks
+        if (sim >> off) & ((1 << w) - 1) == (other >> off) & ((1 << w) - 1)
+    )
+    assert agree >= 6 - 3
+
+
+def test_simhash_oracle_block_layout_matches_engine():
+    """The DuckDB oracle hardcodes the 6-block layout (four 11-bit then
+    two 10-bit); it must be the SAME layout _simhash_blocks(6) gives
+    the engine, or the two sides generate candidates from different
+    block boundaries (recall stays exact either way, but the mirrored
+    condition would be a lie)."""
+    from structured_data_entity_extraction_spark.ops.dedup import _simhash_blocks
+
+    oracle_layout, off = [], 0
+    for i in range(6):
+        w = 11 if i < 4 else 10
+        oracle_layout.append((off, w))
+        off += w
+    assert _simhash_blocks(6) == oracle_layout
+    assert off == 64
