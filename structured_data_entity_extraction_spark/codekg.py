@@ -480,6 +480,12 @@ def entity_cooccurrence(
         ).select(F.col("a.obj").alias("src"), F.col("b.obj").alias("dst"))
 
     if max_per_doc and exact_tail:
+        from .ops.cache import persist_tracked
+
+        # e feeds the over-cap aggregate, the routing anti/semi joins,
+        # and both sides of each branch self-join (~6 consumers) --
+        # persist it or the filter+distinct subtree re-evaluates per use
+        e = persist_tracked(e)
         over_cap = (
             e.groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("_n"))

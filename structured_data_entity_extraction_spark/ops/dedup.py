@@ -355,12 +355,25 @@ def simhash_candidates(
     ]
     max_w = max(w for _, w in blocks)
     # pack (combo_id, v_i, v_j, ...) into one long: combo values are
-    # <= 11 bits each, combo_id < C(6,3)=20 -> 3*11 + 5 = 38 bits used
+    # <= 11 bits each, combo_id < C(6,3)=20 -> 3*11 + 5 = 38 bits used.
+    # Exotic parameters (max_hamming=0, caller-supplied n_blocks=20)
+    # can exceed 63 bits, where shiftleft would silently drop the high
+    # bits and collapse unrelated sims into shared buckets -- fall back
+    # to a 64-bit hash key there (collisions ~n^2/2^64; the popcount
+    # filter keeps the RESULT exact either way, this guards the
+    # bucket-size bound).
+    from math import comb as _comb
+
+    combo_id_bits = max(_comb(n_blocks, combo) - 1, 1).bit_length()
+    packed_fits = combo * max_w + combo_id_bits <= 63
     keys = []
     for ci, idxs in enumerate(combinations(range(n_blocks), combo)):
-        key = F.lit(ci).cast("long")
-        for bi in idxs:
-            key = F.shiftleft(key, max_w).bitwiseOR(block_cols[bi].cast("long"))
+        if packed_fits:
+            key = F.lit(ci).cast("long")
+            for bi in idxs:
+                key = F.shiftleft(key, max_w).bitwiseOR(block_cols[bi].cast("long"))
+        else:
+            key = F.xxhash64(F.lit(ci), *[block_cols[bi] for bi in idxs])
         keys.append(key)
     exploded = h.select(
         "doc_id", "sim", F.explode(F.array(*[k.alias("k") for k in keys])).alias("bkey")

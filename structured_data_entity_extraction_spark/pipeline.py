@@ -64,13 +64,6 @@ def run_codekg_pipeline(
     # raises otherwise -- the silent-stale-resume guard)
     store.input_digest = input_digest
     store.input_docs = input_pairs.count()
-    # input-identity sidecar: the exact (doc_id, content_sha) set this
-    # warehouse was built from -- append-only ingest joins new batches
-    # against it (a zero-mention doc has no mentions row but IS input).
-    # Write-if-missing: on resume the run_stage identity guard has
-    # already proven the existing sidecar describes this same input.
-    if not store.has_input_pairs():
-        store.write_input_pairs(input_pairs)
 
     def timed(stage, build, partition_by=None):
         t0 = time.time()
@@ -97,6 +90,15 @@ def run_codekg_pipeline(
         lambda: codekg.extract_code_mentions(repos_src, bucket_count),
         partition_by=["repo_bucket", "lang"],
     )
+    # input-identity sidecar: the exact (doc_id, content_sha) set this
+    # warehouse was built from -- append-only ingest joins new batches
+    # against it (a zero-mention doc has no mentions row but IS input).
+    # Written only AFTER run_stage has built-or-identity-validated the
+    # first stage: writing earlier would let a refused run over a
+    # DIFFERENT input poison a legacy (sidecar-less) warehouse's
+    # identity set. Write-if-missing thereafter.
+    if not store.has_input_pairs():
+        store.write_input_pairs(input_pairs)
     candidates = timed(
         "candidates",
         lambda: codekg.link_mentions(mentions, alias_dim, use_lsh=use_lsh),
@@ -144,8 +146,15 @@ def ingest_repos_batch(
     canonicalization is corpus-global, so a batch "finalize"
     ``run_codekg_pipeline`` over the full input resumes
     mentions/candidates from these checkpoints and builds only the
-    global stages."""
-    if store.is_complete("mentions"):
+    global stages.
+
+    Idempotent under at-least-once delivery (``replay_ok``): a
+    redelivered batch whose docs ALL already sit in the warehouse is a
+    no-op, and a bootstrap crash between the mentions and candidates
+    commits self-heals (dispatch keys on the LAST bootstrap stage, so
+    the replay resumes mentions -- identity-guarded -- and builds
+    candidates)."""
+    if store.is_complete("mentions") and store.is_complete("candidates"):
         return append_repos_batch(
             spark,
             store,
@@ -153,12 +162,12 @@ def ingest_repos_batch(
             bucket_count=bucket_count,
             use_lsh=use_lsh,
             alias_rows=alias_rows,
+            replay_ok=True,
         )
     pairs, digest = input_identity(repos_src_batch)
     pairs = pairs.persist()
     store.input_digest = digest
     store.input_docs = pairs.count()
-    store.write_input_pairs(pairs)
     metrics: dict = {
         "run_id": store.run_id,
         "mode": "bootstrap",
@@ -190,6 +199,10 @@ def ingest_repos_batch(
             "rows": store.manifest(stage)["rows"],
             **rep,
         }
+    # sidecar LAST: run_stage has now either built the stages from this
+    # batch or resumed them under the identity guard, so the sidecar
+    # can never describe an input the warehouse does not hold
+    store.write_input_pairs(pairs)
     pairs.unpersist()
     return metrics
 
@@ -201,6 +214,7 @@ def append_repos_batch(
     bucket_count: int = 64,
     use_lsh: bool = True,
     alias_rows=None,
+    replay_ok: bool = False,
 ) -> dict:
     """Append ONE batch of new documents to a committed warehouse --
     the shared core of incremental batch ingest and the streaming
@@ -242,6 +256,20 @@ def append_repos_batch(
         existing_ids = store.read(spark, "mentions").select("doc_id").distinct()
     n_overlap = new_pairs.join(existing_ids, "doc_id", "left_semi").count()
     if n_overlap:
+        if replay_ok and n_overlap == n_new:
+            # at-least-once replay: the warehouse committed this whole
+            # batch but the caller's own checkpoint (e.g. the streaming
+            # offset log) did not -- re-delivery must be a no-op, not a
+            # crash loop. Partial overlap is never a replay and still
+            # raises below.
+            new_pairs.unpersist()
+            return {
+                "run_id": store.run_id,
+                "mode": "replay_noop",
+                "new_docs": 0,
+                "replayed_docs": n_new,
+                "stages": {},
+            }
         raise RuntimeError(
             f"{n_overlap} of the {n_new} new docs already exist in the "
             "warehouse: incremental ingest is append-only; re-extracting "
@@ -467,6 +495,8 @@ def main(argv=None) -> None:
         q = stream_repos_src(
             spark, args.input, args.output, ckpt,
             bucket_count=args.buckets, use_lsh=not args.no_lsh,
+            run_id_prefix=args.run_id,
+            iceberg_catalog=args.iceberg_catalog,
         )
         q.awaitTermination()
         store = StageStore(args.output)

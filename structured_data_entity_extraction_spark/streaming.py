@@ -47,9 +47,12 @@ def stream_repos_src(
     use_lsh: bool = True,
     alias_rows=None,
     available_now: bool = True,
+    run_id_prefix: str = "stream",
+    iceberg_catalog: str | None = None,
 ):
     """File-source stream of repos_src parquet -> per-micro-batch
-    warehouse ingest (bootstrap on the first batch, append-only after).
+    warehouse ingest (bootstrap on the first batch, append-only after;
+    a replayed micro-batch -- at-least-once delivery -- is a no-op).
     Returns the StreamingQuery."""
     from .pipeline import ingest_repos_batch
 
@@ -63,7 +66,11 @@ def stream_repos_src(
         if not batch_df.take(1):  # empty trigger: nothing to ingest
             return
         bspark = batch_df.sparkSession
-        store = StageStore(warehouse_root, run_id=f"stream-{batch_id}")
+        store = StageStore(
+            warehouse_root,
+            run_id=f"{run_id_prefix}-{batch_id}",
+            iceberg_catalog=iceberg_catalog,
+        )
         ingest_repos_batch(
             bspark,
             store,

@@ -277,6 +277,85 @@ def test_append_guard_catches_zero_mention_docs(spark, tmp_path):
         run_codekg_pipeline_incremental(spark, ghost_df, root, run_id="dup")
 
 
+def test_ingest_batch_replay_and_partial_bootstrap(spark, tmp_path):
+    """At-least-once safety for the streaming sink (code-review r5):
+    (a) a REPLAYED batch (warehouse committed it, streaming offset log
+    did not) is a no-op, not a crash loop; (b) partial overlap still
+    raises; (c) a bootstrap crash between the mentions and candidates
+    commits self-heals on redelivery."""
+    from structured_data_entity_extraction_spark.materialize import StageStore
+    from structured_data_entity_extraction_spark.pipeline import ingest_repos_batch
+
+    rows = repos_src_rows(60, seed=41)
+    mk = lambda rs: spark.createDataFrame(
+        [(r["repo"], r["path"], r["commit"], r["lang"], r["content"]) for r in rs],
+        REPOS_SRC,
+    )
+    root = str(tmp_path / "w")
+    store = StageStore(root, run_id="b0")
+    m0 = ingest_repos_batch(spark, store, mk(rows[:40]))
+    assert m0["mode"] == "bootstrap"
+    m1 = ingest_repos_batch(spark, StageStore(root, run_id="b1"), mk(rows[40:]))
+    assert m1["mode"] == "incremental" and m1["new_docs"] == 20
+    digest_after = StageStore(root).manifest("mentions")["input_sha_digest"]
+
+    # (a) full replay of batch 1 -> no-op, digest unchanged
+    m_replay = ingest_repos_batch(spark, StageStore(root, run_id="b1r"), mk(rows[40:]))
+    assert m_replay["mode"] == "replay_noop" and m_replay["replayed_docs"] == 20
+    assert StageStore(root).manifest("mentions")["input_sha_digest"] == digest_after
+
+    # (b) partial overlap (10 old + 10 genuinely new) is NOT a replay
+    more = repos_src_rows(80, seed=41)[60:70]
+    with pytest.raises(RuntimeError, match="append-only"):
+        ingest_repos_batch(
+            spark, StageStore(root, run_id="bad"), mk(rows[50:] + more)
+        )
+
+    # (c) partial bootstrap: candidates commit lost -> redelivery of the
+    # SAME first batch resumes mentions and rebuilds candidates
+    root2 = str(tmp_path / "w2")
+    ingest_repos_batch(spark, StageStore(root2, run_id="c0"), mk(rows[:40]))
+    import shutil
+
+    shutil.rmtree(f"{root2}/candidates")
+    import os as _os
+
+    if _os.path.exists(f"{root2}/_input_pairs"):
+        shutil.rmtree(f"{root2}/_input_pairs")  # crash before sidecar write
+    m_heal = ingest_repos_batch(spark, StageStore(root2, run_id="c1"), mk(rows[:40]))
+    assert m_heal["mode"] == "bootstrap"
+    st2 = StageStore(root2)
+    assert st2.is_complete("candidates") and st2.has_input_pairs()
+    # and the healed warehouse accepts a fresh append
+    m2 = ingest_repos_batch(spark, StageStore(root2, run_id="c2"), mk(rows[40:]))
+    assert m2["mode"] == "incremental"
+
+
+def test_full_run_refusal_does_not_poison_legacy_sidecar(spark, tmp_path):
+    """Code-review r5: on a legacy (sidecar-less) warehouse, a refused
+    run over a DIFFERENT input must not write that input's identity
+    sidecar -- it would let already-ingested docs re-append as 'new'."""
+    import shutil
+
+    rows = repos_src_rows(30, seed=43)
+    mk = lambda rs: spark.createDataFrame(
+        [(r["repo"], r["path"], r["commit"], r["lang"], r["content"]) for r in rs],
+        REPOS_SRC,
+    )
+    root = str(tmp_path / "w")
+    run_codekg_pipeline(spark, mk(rows[:20]), root, run_id="b", use_lsh=False)
+    shutil.rmtree(f"{root}/_input_pairs")  # legacy warehouse
+    from structured_data_entity_extraction_spark.materialize import StageStore
+
+    with pytest.raises(RuntimeError, match="different input"):
+        run_codekg_pipeline(spark, mk(rows[20:]), root, run_id="x", use_lsh=False)
+    assert not StageStore(root).has_input_pairs()  # NOT poisoned
+    # the matching input re-seeds the sidecar on resume
+    m = run_codekg_pipeline(spark, mk(rows[:20]), root, run_id="r", use_lsh=False)
+    assert all(s["resumed"] for s in m["stages"].values())
+    assert StageStore(root).has_input_pairs()
+
+
 def test_torn_append_marker_blocks_resume(spark, tmp_path):
     """A crash between data append and manifest swap leaves the
     warehouse pending marker; every later resume/append must refuse

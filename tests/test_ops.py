@@ -146,6 +146,20 @@ def test_simhash_candidates_bounded_on_banded_skew(spark):
     assert len(pairs) <= len(rows), pairs
 
 
+def test_simhash_candidates_wide_key_fallback(spark):
+    """max_hamming=0 (exact-hash dedup via 3 blocks of ~22 bits) needs
+    66+ key bits -- past the packed-long width, where shiftleft would
+    silently truncate. The hash-key fallback must engage and still
+    find exact-duplicate sims only."""
+    rows = [(1, 12345), (2, 12345), (3, 99999), (4, -(1 << 63) + 7)]
+    h = spark.createDataFrame(rows, "doc_id long, sim long")
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.simhash_candidates(h, max_hamming=0).collect()
+    }
+    assert pairs == {(1, 2)}
+
+
 @pytest.fixture(scope="module")
 def vecs_df(spark):
     rng = np.random.RandomState(0)
