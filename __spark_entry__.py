@@ -588,6 +588,16 @@ def q_simhash_pairs(spark, sf_dir):
     )
 
 
+def q_simhash_dup_groups(spark, sf_dir):
+    """Composition: Manku simhash candidates -> exact popcount pairs ->
+    connected-components dup-group verdict (doc_id, group_id = min doc
+    in component). Oracle: the simhash CTE chain + recursive transitive
+    closure, all pure SQL."""
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.simhash_pairs(docs, max_hamming=3)
+    return dedup.near_dup_groups(pairs).orderBy("doc_id")
+
+
 def q_ivf_topk(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     return (
@@ -718,6 +728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_pairs,
         "near_dup_groups": q_near_dup_groups,
         "simhash_pairs": q_simhash_pairs,
+        "simhash_dup_groups": q_simhash_dup_groups,
         "ann_lsh_topk": q_lsh_topk,
         "ann_ivf_topk": q_ivf_topk,
         "ann_ivf_codebook_topk": q_ivf_codebook_topk,
@@ -845,17 +856,25 @@ def _simhash_pairs_sql(max_hamming: int = 3) -> str:
     split on RE2 \\s+ ([ \\t\\n\\f\\r] -- the Python kernel uses the
     identical ASCII class, NOT str.split()'s unicode whitespace), empty
     tokens dropped (zero-token docs get sim = 0 unsigned)."""
+    return (
+        _simhash_pairs_ctes(max_hamming)
+        + """
+        SELECT id_a, id_b, hamming FROM spairs ORDER BY id_a, id_b
+    """
+    )
+
+
+def _simhash_pairs_ctes(max_hamming: int = 3) -> str:
+    """The simhash CTE chain ending in ``spairs(id_a, id_b, hamming)``
+    -- shared by the pair oracle and the dup-groups composition."""
     acc_cols = ",\n             ".join(
         f"sum(CASE WHEN (hv >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS a{i}"
         for i in range(64)
     )
-    # literal powers of two: DuckDB's << range-checks 1 << 63
     sim_expr = " + ".join(
         f"(CASE WHEN coalesce(a{i}, 0) > 0 THEN {1 << i}::UBIGINT ELSE 0::UBIGINT END)"
         for i in range(64)
     )
-    # same 6 blocks as _simhash_blocks(6): four 11-bit then two 10-bit;
-    # "some 3-of-6 combo of blocks agrees" == "at least 3 blocks agree"
     _blk, _off = [], 0
     for _i in range(6):
         _w = 11 if _i < 4 else 10
@@ -885,12 +904,12 @@ def _simhash_pairs_sql(max_hamming: int = 3) -> str:
         ), sims AS (
           SELECT d.doc_id, {sim_expr} AS sim
           FROM documents d LEFT JOIN acc USING (doc_id)
+        ), spairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 bit_count(xor(a.sim, b.sim))::INT AS hamming
+          FROM sims a JOIN sims b ON a.doc_id < b.doc_id AND ({band_cond})
+          WHERE bit_count(xor(a.sim, b.sim)) <= {max_hamming}
         )
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               bit_count(xor(a.sim, b.sim))::INT AS hamming
-        FROM sims a JOIN sims b ON a.doc_id < b.doc_id AND ({band_cond})
-        WHERE bit_count(xor(a.sim, b.sim)) <= {max_hamming}
-        ORDER BY id_a, id_b
     """
 
 
@@ -1700,6 +1719,24 @@ def oracle_sql() -> dict[str, str]:
         # builder-authored golden twin is retired in favor of a DuckDB
         # oracle independent of any Python the builder wrote
         "simhash_pairs": _simhash_pairs_sql(),
+        # Manku pairs -> recursive-CTE transitive closure: the same
+        # min-label group verdict near_dup_groups gives the minhash path
+        "simhash_dup_groups": "WITH RECURSIVE "
+        + _simhash_pairs_ctes().lstrip().removeprefix("WITH")
+        + """
+            , edges AS (
+              SELECT id_a AS a, id_b AS b FROM spairs
+              UNION
+              SELECT id_b, id_a FROM spairs
+            ),
+            reach(node, other) AS (
+              SELECT a, b FROM edges
+              UNION
+              SELECT r.node, e.b FROM reach r JOIN edges e ON r.other = e.a
+            )
+            SELECT node AS doc_id, least(node, min(other)) AS group_id
+            FROM reach GROUP BY node ORDER BY doc_id
+        """,
         # r4: both ANN paths now have pure SQL oracles (bucket/cell
         # machinery re-expressed in DuckDB); goldens remain only as
         # make_goldens cross-checks
