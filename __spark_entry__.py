@@ -274,6 +274,26 @@ def q_events_windowed(spark, sf_dir):
     return windowed_event_counts(ev).orderBy("window_start", "event_type")
 
 
+def q_stream_dedup_batch(spark, sf_dir):
+    """Batch twin of streaming.stream_dedup_exact (the SAME function,
+    deterministic branch): first-arriving row per distinct dedup key
+    (earliest ts, ties by event_id). Keyed on (event_type, value) over
+    the events feed -- the dedup horizon contract a streaming corpus
+    feed gets from dropDuplicatesWithinWatermark is pytest-gated; this
+    hash-checks the keeper rule itself."""
+    from structured_data_entity_extraction_spark.streaming import stream_dedup_exact
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id",
+        "ts",
+        F.concat_ws("|", F.col("event_type"), F.col("value").cast("string")).alias(
+            "text"
+        ),
+    )
+    out = stream_dedup_exact(ev, ts_col="ts", id_col="event_id")
+    return out.select("event_id", "ts", "text").orderBy("event_id")
+
+
 def q_rollup_orders(spark, sf_dir):
     """ROLLUP aggregation (grouping-sets family)."""
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
@@ -704,6 +724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_agg_counts": q_salted_repo_counts,
         "events_sessionize_lag": q_events_sessionize,
         "events_windowed_counts": q_events_windowed,
+        "stream_dedup_batch": q_stream_dedup_batch,
         "rollup_orders": q_rollup_orders,
         "top_orders_by_lines": q_top_orders_by_lines,
         "dedup_exact_kept": q_dedup_exact_kept,
@@ -1525,6 +1546,22 @@ def oracle_sql() -> dict[str, str]:
                    event_type, count(*) AS n_events,
                    round(sum(value), 2) AS total_value
             FROM events GROUP BY 1, 2, 3 ORDER BY window_start, event_type
+        """,
+        # keeper rule of streaming.stream_dedup_exact's deterministic
+        # batch branch: earliest ts per distinct key, ties by id
+        "stream_dedup_batch": """
+            WITH keyed AS (
+              SELECT event_id, ts,
+                     event_type || '|' || value::VARCHAR AS text,
+                     sha256(coalesce(event_type || '|' || value::VARCHAR, '')) AS sha
+              FROM events
+            ), ranked AS (
+              SELECT event_id, ts, text,
+                     row_number() OVER (PARTITION BY sha
+                                        ORDER BY ts ASC, event_id ASC) AS rn
+              FROM keyed
+            )
+            SELECT event_id, ts, text FROM ranked WHERE rn = 1 ORDER BY event_id
         """,
         "rollup_orders": """
             SELECT coalesce(o_orderstatus, 'ALL') AS status,
