@@ -382,6 +382,21 @@ def q_decontam_report(spark, sf_dir):
     return decontam.contamination_report(corpus, benchmark, k=13).orderBy("doc_id")
 
 
+def q_decontaminated_docs(spark, sf_dir):
+    """The APPLYING half of decontamination: corpus docs surviving the
+    default max_contamination=0.0 gate (any benchmark-shingle hit drops
+    the doc). Anti-join on the flagged id set; the corpus otherwise
+    streams through untouched (no shuffle of doc content)."""
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 50 != 0)
+    benchmark = docs.filter(F.col("doc_id") % 50 == 0)
+    return (
+        decontam.decontaminate(corpus, benchmark, k=13)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
 def q_repetition_signals(spark, sf_dir):
     """Gopher-style repetition quality signals (dup lines / dup words /
     top-token dominance) per document."""
@@ -729,6 +744,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_orders_by_lines": q_top_orders_by_lines,
         "dedup_exact_kept": q_dedup_exact_kept,
         "decontam_report": q_decontam_report,
+        "decontaminated_docs": q_decontaminated_docs,
         "repetition_signals": q_repetition_signals,
         "entity_cooccurrence": q_entity_cooccurrence,
         "entity_cooccurrence_exact": q_entity_cooccurrence_exact,
@@ -1690,6 +1706,11 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY event_id, interval_id
         """,
         "decontam_report": _decontam_sql(),
+        # the applying half: survivors of the zero-tolerance gate
+        "decontaminated_docs": f"""
+            WITH rep AS ({_decontam_sql()})
+            SELECT doc_id FROM rep WHERE contamination <= 0.0 ORDER BY doc_id
+        """,
         "codekg_lsh_alias_map": _lsh_alias_map_sql(),
         "repetition_signals": r"""
             WITH base AS (
