@@ -283,15 +283,73 @@ def q_stream_dedup_batch(spark, sf_dir):
     hash-checks the keeper rule itself."""
     from structured_data_entity_extraction_spark.streaming import stream_dedup_exact
 
+    # coalesce BOTH key parts explicitly: Spark's concat_ws skips NULLs
+    # while DuckDB's || yields NULL, so without the coalesce a NULL
+    # event_type/value in a future fixture silently diverges the twin
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
         "event_id",
         "ts",
-        F.concat_ws("|", F.col("event_type"), F.col("value").cast("string")).alias(
-            "text"
-        ),
+        F.concat_ws(
+            "|",
+            F.coalesce(F.col("event_type"), F.lit("")),
+            F.coalesce(F.col("value").cast("string"), F.lit("")),
+        ).alias("text"),
     )
     out = stream_dedup_exact(ev, ts_col="ts", id_col="event_id")
     return out.select("event_id", "ts", "text").orderBy("event_id")
+
+
+def q_stream_sessionize_batch(spark, sf_dir):
+    """The applyInPandasWithState sessionizer (streaming.
+    sessionize_stateful) run as a REAL streaming query -- file source ->
+    stateful operator -> memory sink -- under the oracle gate. One
+    availableNow trigger over the single events file delivers ONE
+    micro-batch, so the stateful keeper rule (sort ts per user, new
+    session on >30-min gap, frontier only advances) is deterministic
+    and equals the lag-window sessionizer the SQL oracle expresses;
+    cross-batch state continuity (which no batch SQL can express) stays
+    pytest-gated in tests/test_streaming.py."""
+    import tempfile
+    import uuid
+
+    from structured_data_entity_extraction_spark.streaming import sessionize_stateful
+
+    ev_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # the file source wants a directory; glob-filter it down to the
+    # single events file (sf_dir holds every fixture table)
+    stream = (
+        spark.readStream.schema(ev_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    name = f"sess_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessionize_stateful(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sess_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update-mode sink appends one row per (user, batch); the FINAL row
+    # per user is the one with the cumulative max n_events (robust even
+    # if a future fixture splits into several micro-batches of one file)
+    out = (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max(F.struct(F.col("n_events"), F.col("n_sessions"))).alias("s")
+        )
+        .select(
+            "user_id",
+            F.col("s.n_sessions").alias("n_sessions"),
+            F.col("s.n_events").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+    return out
 
 
 def q_rollup_orders(spark, sf_dir):
@@ -739,6 +797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_agg_counts": q_salted_repo_counts,
         "events_sessionize_lag": q_events_sessionize,
         "events_windowed_counts": q_events_windowed,
+        "stream_sessionize_batch": q_stream_sessionize_batch,
         "stream_dedup_batch": q_stream_dedup_batch,
         "rollup_orders": q_rollup_orders,
         "top_orders_by_lines": q_top_orders_by_lines,
@@ -1563,13 +1622,35 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 2) AS total_value
             FROM events GROUP BY 1, 2, 3 ORDER BY window_start, event_type
         """,
+        # the stateful sessionizer delivered in ONE availableNow batch
+        # reduces to the lag rule: sorted ts per user, new session on
+        # >30-min gap (first event opens one)
+        "stream_sessionize_batch": """
+            WITH gaps AS (
+              SELECT user_id, ts,
+                     lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+              FROM events
+            ), flagged AS (
+              SELECT user_id,
+                     CASE WHEN prev_ts IS NULL
+                          OR epoch(ts) - epoch(prev_ts) > 1800
+                          THEN 1 ELSE 0 END AS new_session
+              FROM gaps
+            )
+            SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+                   count(*) AS n_events
+            FROM flagged GROUP BY user_id ORDER BY user_id
+        """,
         # keeper rule of streaming.stream_dedup_exact's deterministic
-        # batch branch: earliest ts per distinct key, ties by id
+        # batch branch: earliest ts per distinct key, ties by id.
+        # Key parts coalesced on BOTH sides (Spark concat_ws skips
+        # NULLs; DuckDB || yields NULL) so the twin survives fixture
+        # changes that introduce NULL event_type/value.
         "stream_dedup_batch": """
             WITH keyed AS (
               SELECT event_id, ts,
-                     event_type || '|' || value::VARCHAR AS text,
-                     sha256(coalesce(event_type || '|' || value::VARCHAR, '')) AS sha
+                     coalesce(event_type, '') || '|' || coalesce(value::VARCHAR, '') AS text,
+                     sha256(coalesce(event_type, '') || '|' || coalesce(value::VARCHAR, '')) AS sha
               FROM events
             ), ranked AS (
               SELECT event_id, ts, text,

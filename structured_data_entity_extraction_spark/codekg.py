@@ -613,11 +613,24 @@ def build_triples(candidates: DataFrame, nodes: DataFrame) -> DataFrame:
             _is_hex("content_sha").alias("_sha_hex"),
             F.coalesce("score", F.lit(1.0)).alias("conf"),
         )
-        .groupBy("_doc_id_b", "_doc_hex", "pred", "obj")
+        # ONE exchange serves BOTH the dedup and the final write layout:
+        # dup triples share their doc, hence their (repo_bucket, lang),
+        # so an explicit repartition on the write-partition columns
+        # clusters every dup group into one partition; the groupBy keeps
+        # (repo_bucket, lang) IN its key set, so HashPartitioning on
+        # that subset already satisfies the aggregate's clustered
+        # distribution -- Catalyst plans NO second exchange (plan-gated)
+        # and the aggregate runs partition-local. Without this fold the
+        # dedup exchange hashed on the (mostly unique) triple key and
+        # the partitionBy write then emitted a file per task per
+        # (bucket, lang) value -- a small-files explosion at scale.
+        # Hot-partition note: key cardinality is bucket_count x |langs|;
+        # size bucket_count to the cluster (64 default is a local[32]
+        # setting, not a 1000-executor one).
+        .repartition("repo_bucket", "lang")
+        .groupBy("repo_bucket", "lang", "_doc_id_b", "_doc_hex", "pred", "obj")
         .agg(
             F.max("repo").alias("repo"),
-            F.max("repo_bucket").alias("repo_bucket"),
-            F.max("lang").alias("lang"),
             # flag + bytes aggregated as ONE struct so both always come
             # from the same row: independent maxes could pair a true
             # flag from one sha with the byte-max of another and
@@ -651,5 +664,10 @@ def build_triples(candidates: DataFrame, nodes: DataFrame) -> DataFrame:
         "lang",
         "content_sha",
         F.lit(1.0).alias("conf"),
-    )
+        # cluster this branch to the write layout too: doc_dim leaves the
+        # groupBy hash-partitioned on doc_id, so each of its tasks holds
+        # every (repo_bucket, lang) value and the partitioned write would
+        # emit |tasks| x |values| tiny files from this side. One exchange
+        # of a |docs|-sized frame (mentions already collapsed map-side).
+    ).repartition("repo_bucket", "lang")
     return doc_triples.unionByName(repo_triples)

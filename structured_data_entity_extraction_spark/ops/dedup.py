@@ -379,6 +379,11 @@ def simhash_candidates(
         "doc_id", "sim", F.explode(F.array(*[k.alias("k") for k in keys])).alias("bkey")
     )
     a, b = exploded.alias("a"), exploded.alias("b")
+    # the popcount filter is row-local, so it runs BEFORE the pair
+    # dedup: each true pair is duplicated up to C(n_blocks, combo) times
+    # by multi-combo agreement and the join also emits false candidates
+    # -- filtering first means the distinct's exchange carries ONLY true
+    # pairs (r5 verdict finding #2; result-identical, smaller shuffle).
     return (
         a.join(
             b,
@@ -390,6 +395,8 @@ def simhash_candidates(
             F.col("a.sim").alias("sim_a"),
             F.col("b.sim").alias("sim_b"),
         )
+        .withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
+        .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
 
@@ -404,7 +411,8 @@ def simhash_pairs(
     """(id_a, id_b, hamming) for pairs within max_hamming bits.
     Candidate generation is Manku block-permute (see
     ``simhash_candidates`` -- exact recall, ~33-bit join keys so bucket
-    sizes shrink 2^17x vs 16-bit bands); exact popcount filter after.
+    sizes shrink 2^17x vs 16-bit bands); the exact popcount filter runs
+    inside candidate generation, before the pair dedup.
     """
     h = _ensure_parallelism(df).select(
         F.col(id_col).alias("doc_id"), simhash_udf(F.col(text_col)).alias("sim")
@@ -412,11 +420,8 @@ def simhash_pairs(
     # the exploded frame feeds both self-join sides; without persistence
     # each side re-runs the simhash pUDF over the whole corpus
     h = persist_tracked(h)
-    return (
-        simhash_candidates(h, max_hamming=max_hamming, n_blocks=n_blocks)
-        .withColumn("hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+    return simhash_candidates(h, max_hamming=max_hamming, n_blocks=n_blocks).select(
+        "id_a", "id_b", "hamming"
     )
 
 

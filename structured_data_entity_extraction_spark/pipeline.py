@@ -96,9 +96,13 @@ def run_codekg_pipeline(
     # Written only AFTER run_stage has built-or-identity-validated the
     # first stage: writing earlier would let a refused run over a
     # DIFFERENT input poison a legacy (sidecar-less) warehouse's
-    # identity set. Write-if-missing thereafter.
+    # identity set. Write-if-missing thereafter. Marker-bracketed so a
+    # crash mid-sidecar surfaces as a refusing torn append instead of a
+    # silent fallback to the weaker mentions-derived guard.
     if not store.has_input_pairs():
+        store.begin_append(["_input_pairs"])
         store.write_input_pairs(input_pairs)
+        store.end_append()
     candidates = timed(
         "candidates",
         lambda: codekg.link_mentions(mentions, alias_dim, use_lsh=use_lsh),
@@ -201,8 +205,15 @@ def ingest_repos_batch(
         }
     # sidecar LAST: run_stage has now either built the stages from this
     # batch or resumed them under the identity guard, so the sidecar
-    # can never describe an input the warehouse does not hold
+    # can never describe an input the warehouse does not hold. Bracketed
+    # by the torn-append marker: a crash between the candidates commit
+    # and the sidecar _SUCCESS would otherwise leave a committed
+    # warehouse with NO sidecar -- the next delivery silently falls back
+    # to the mentions-derived id guard, zero-mention docs drop out of the
+    # identity set, and a later re-append double-counts the digest.
+    store.begin_append(["_input_pairs"])
     store.write_input_pairs(pairs)
+    store.end_append()
     pairs.unpersist()
     return metrics
 
@@ -251,12 +262,21 @@ def append_repos_batch(
     new_pairs = new_pairs.persist()
     n_new = new_pairs.count()
     if store.has_input_pairs():
-        existing_ids = store.read_input_pairs(spark).select("doc_id").distinct()
+        existing = store.read_input_pairs(spark).select("doc_id", "content_sha").distinct()
     else:
-        existing_ids = store.read(spark, "mentions").select("doc_id").distinct()
-    n_overlap = new_pairs.join(existing_ids, "doc_id", "left_semi").count()
+        existing = store.read(spark, "mentions").select("doc_id", "content_sha").distinct()
+    n_overlap = new_pairs.join(
+        existing.select("doc_id").distinct(), "doc_id", "left_semi"
+    ).count()
     if n_overlap:
-        if replay_ok and n_overlap == n_new:
+        # replay-noop requires the EXACT (doc_id, content_sha) pair set:
+        # a redelivered batch with the same ids but different content is
+        # a content change, never a replay -- the sidecar carries
+        # content_sha precisely to make this test exact
+        n_exact = new_pairs.join(
+            existing, ["doc_id", "content_sha"], "left_semi"
+        ).count()
+        if replay_ok and n_overlap == n_new and n_exact == n_new:
             # at-least-once replay: the warehouse committed this whole
             # batch but the caller's own checkpoint (e.g. the streaming
             # offset log) did not -- re-delivery must be a no-op, not a
@@ -270,6 +290,13 @@ def append_repos_batch(
                 "replayed_docs": n_new,
                 "stages": {},
             }
+        if n_exact != n_overlap:
+            raise RuntimeError(
+                f"{n_overlap - n_exact} of the {n_new} new docs share a "
+                "doc_id with the warehouse but carry DIFFERENT content "
+                "(content_sha mismatch): update-in-place is not append; "
+                "re-extracting changed documents needs a fresh warehouse"
+            )
         raise RuntimeError(
             f"{n_overlap} of the {n_new} new docs already exist in the "
             "warehouse: incremental ingest is append-only; re-extracting "
@@ -448,7 +475,10 @@ def main(argv=None) -> None:
     from .session import get_spark
 
     ap = argparse.ArgumentParser()
-    ap.add_argument("--input", required=True, help="input parquet path")
+    ap.add_argument(
+        "--input", default=None,
+        help="input parquet path (required except with --compact)",
+    )
     ap.add_argument("--output", required=True, help="warehouse root")
     ap.add_argument("--run-id", default="run0")
     ap.add_argument("--buckets", type=int, default=64)
@@ -483,10 +513,48 @@ def main(argv=None) -> None:
         "--checkpoint", default=None,
         help="streaming checkpoint location (default <output>/_stream_ckpt)",
     )
+    ap.add_argument(
+        "--compact", default=None, metavar="STAGES",
+        help="maintenance: compact the comma-separated stages (or 'all') "
+        "of an existing --output warehouse into sized files and exit "
+        "(verified read-equivalent; torn-compact marker on crash)",
+    )
+    ap.add_argument(
+        "--target-file-mb", type=int, default=128,
+        help="compaction target file size (MiB)",
+    )
     args = ap.parse_args(argv)
+    if args.input is None and not args.compact:
+        ap.error("--input is required (except with --compact)")
 
     spark = get_spark(f"structured-data-entity-extraction-{args.pipeline}")
     t0 = time.time()
+    if args.compact:
+        from .materialize import StageStore
+
+        store = StageStore(
+            args.output, run_id=args.run_id, iceberg_catalog=args.iceberg_catalog
+        )
+        stages = (
+            [
+                st
+                for st in ("mentions", "candidates", "edges", "nodes",
+                           "triples", "records")
+                if store.is_complete(st)
+            ]
+            if args.compact == "all"
+            else args.compact.split(",")
+        )
+        metrics = {
+            "mode": "compact",
+            "stages": {
+                st: store.compact(spark, st, target_file_mb=args.target_file_mb)
+                for st in stages
+            },
+            "total_wall_s": round(time.time() - t0, 3),
+        }
+        print(json.dumps(metrics))
+        return
     if args.stream:
         from .materialize import StageStore
         from .streaming import stream_repos_src

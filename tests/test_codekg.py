@@ -392,6 +392,74 @@ def test_torn_append_marker_blocks_resume(spark, tmp_path):
     assert all(s["resumed"] for s in m["stages"].values())
 
 
+def test_compact_preserves_reads_and_guards(spark, tmp_path, monkeypatch):
+    """StageStore.compact (r5 verdict #5): after N appends the stage
+    holds many small batch files; compact must (a) drop the file count,
+    (b) keep reads bit-identical, (c) keep the resume identity guard
+    refusing changed input, and (d) surface a crash mid-swap as a
+    refusing TORN APPEND (the kill -9 twin, simulated by failing the
+    second directory rename)."""
+    import os as _os
+
+    from structured_data_entity_extraction_spark.materialize import StageStore
+    from structured_data_entity_extraction_spark.pipeline import (
+        run_codekg_pipeline_incremental,
+    )
+
+    rows = repos_src_rows(120, seed=77)
+    mk = lambda rs: spark.createDataFrame(
+        [(r["repo"], r["path"], r["commit"], r["lang"], r["content"]) for r in rs],
+        REPOS_SRC,
+    )
+    root = str(tmp_path / "w")
+    run_codekg_pipeline(spark, mk(rows[:60]), root, run_id="b", use_lsh=False)
+    run_codekg_pipeline_incremental(spark, mk(rows[60:90]), root, run_id="i1", use_lsh=False)
+    run_codekg_pipeline_incremental(spark, mk(rows[90:]), root, run_id="i2", use_lsh=False)
+
+    def nfiles(stage):
+        out = 0
+        for r, _d, fs in _os.walk(_os.path.join(root, stage, "data")):
+            out += sum(1 for f in fs if f.endswith(".parquet"))
+        return out
+
+    store = StageStore(root, run_id="c")
+    cols = ["doc_id", "field", "value", "content_sha"]
+    before = sorted(map(tuple, store.read(spark, "mentions").select(*cols).collect()))
+    files_before = nfiles("mentions")
+    rep = store.compact(spark, "mentions")
+    assert rep["files_after"] < files_before
+    assert nfiles("mentions") == rep["files_after"]
+    after = sorted(map(tuple, store.read(spark, "mentions").select(*cols).collect()))
+    assert before == after
+    # manifest keeps rows + input identity: full run over the true union
+    # still resumes, a grown input still refuses
+    m = run_codekg_pipeline(spark, mk(rows), root, run_id="r", use_lsh=False)
+    assert all(s["resumed"] for s in m["stages"].values())
+    extra = spark.createDataFrame(
+        [("orgx/zzz", "a.py", "e" * 40, "python", "import os")], REPOS_SRC
+    )
+    with pytest.raises(RuntimeError, match="different input"):
+        run_codekg_pipeline(spark, mk(rows).unionByName(extra), root, run_id="r2")
+
+    # crash mid-swap: data dir renamed away, marker still present ->
+    # every later run refuses with the recovery text
+    real_rename = _os.rename
+    calls = {"n": 0}
+
+    def failing_rename(src, dst):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise OSError("simulated kill -9 mid-swap")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(_os, "rename", failing_rename)
+    with pytest.raises(OSError, match="mid-swap"):
+        StageStore(root, run_id="c2").compact(spark, "candidates")
+    monkeypatch.setattr(_os, "rename", real_rename)
+    with pytest.raises(RuntimeError, match="TORN APPEND"):
+        run_codekg_pipeline(spark, mk(rows), root, run_id="r3", use_lsh=False)
+
+
 def test_determinism(spark, repos_df, tmp_path):
     """Same input twice -> identical triples (SURVEY.md §5 item 4)."""
     a = run_codekg_pipeline(spark, repos_df, str(tmp_path / "w1"), use_lsh=False)

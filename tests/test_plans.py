@@ -127,6 +127,49 @@ def test_simhash_candidates_plan_is_one_join(spark):
     assert "NestedLoopJoin" not in p and "CartesianProduct" not in p
 
 
+def test_build_triples_dedup_reuses_write_clustering(spark):
+    """r5 verdict #1: ONE exchange -- the explicit repartition on the
+    write-partition columns (repo_bucket, lang) -- serves BOTH the
+    triple dedup and the final partitioned-write clustering. The dedup
+    aggregate keeps those columns in its key set, so HashPartitioning
+    on the subset satisfies its clustered distribution and Catalyst
+    must not plan a second ENSURE_REQUIREMENTS exchange on the
+    6-column dedup key."""
+    from structured_data_entity_extraction_spark import codekg
+
+    cand = spark.createDataFrame(
+        [("d1", "s1", "import", "numpy", "r1", 3, "python", 0.9)],
+        "doc_id string, content_sha string, field string, value string, "
+        "repo string, repo_bucket int, lang string, score double",
+    )
+    nodes = spark.createDataFrame([("numpy", "numpy")], "surface string, canonical string")
+    p = _plan(codekg.build_triples(cand, nodes))
+    assert "REPARTITION_BY_COL" in p
+    # the dedup key columns never appear in any exchange's partitioning
+    assert not any(
+        "Exchange" in ln and "_doc_id_b" in ln for ln in p.splitlines()
+    ), p
+
+
+def test_simhash_popcount_filter_runs_before_pair_distinct(spark):
+    """r5 verdict finding #2: the popcount filter is row-local, so it
+    must run BEFORE the pair-dedup distinct -- the distinct's exchange
+    then carries only true pairs (each duplicated up to C(6,3)=20x by
+    multi-combo agreement) instead of the full candidate set. In the
+    printed tree children are below parents, so the bit_count filter
+    line must appear AFTER the first Exchange line (the distinct's)."""
+    from structured_data_entity_extraction_spark.ops import dedup
+
+    h = spark.createDataFrame([(1, 7), (2, 9)], "doc_id long, sim long")
+    p = _plan(dedup.simhash_candidates(h, max_hamming=3))
+    lines = p.splitlines()
+    # the condition may survive as a Filter node or be pushed into the
+    # join condition -- either way it must sit below the distinct's shuffle
+    filt = next(i for i, ln in enumerate(lines) if "bit_count" in ln)
+    exch = next(i for i, ln in enumerate(lines) if "Exchange" in ln)
+    assert filt > exch, p
+
+
 def test_cooccurrence_exact_tail_plan_splits_branches(spark):
     """exact_tail routes over-cap docs into a separate join branch:
     the plan contains a Union of two keyed joins plus the anti/semi
