@@ -221,6 +221,18 @@ def q_token_stats(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_token_stats_bpe(spark, sf_dir):
+    """Tokenizer-ACCURATE counts: the pinned trained merge table
+    (data/bpe_merges.json, tools/train_bpe.py) applied exactly --
+    data-budget counts the bpe_ish regex proxy only approximates.
+    Oracle: the same merges as VALUES literals applied by a recursive
+    CTE over the distinct-word set (delimiter-string replace mirrors
+    the engine's left-to-right non-overlapping fold; property-tested
+    equal in tests/test_property.py)."""
+    docs = _docs(spark, sf_dir)
+    return textstats.token_stats_bpe(docs).orderBy("doc_id")
+
+
 def q_fingerprint(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     return docs.select(
@@ -732,6 +744,40 @@ def q_ivf_codebook_topk(spark, sf_dir):
     )
 
 
+def _ivf_pq_codebook() -> dict:
+    """The pinned IVF-PQ artifact (coarse 16x64 + pq 8x16x8) from
+    tools/train_codebook.py --pq (256 lowest-id sf0.01 embeddings,
+    10 iterations). Regenerate: python tools/train_codebook.py --pq
+    <embeddings.parquet> structured_data_entity_extraction_spark/data/ivf_pq_codebook.json
+    16 8 16 10 256"""
+    import json as _json
+
+    p = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "structured_data_entity_extraction_spark",
+        "data",
+        "ivf_pq_codebook.json",
+    )
+    with open(p, encoding="utf-8") as fh:
+        return _json.load(fh)
+
+
+def q_ivf_pq_topk(spark, sf_dir):
+    """IVF-PQ: inverted lists carry m=8 4-bit codes instead of raw
+    floats (the 10^9-embedding memory-scale path); ADC shortlist of 32
+    per query, exact-cosine rerank. Oracle: the full encode/probe/ADC/
+    rerank program in pure SQL with both codebooks as VALUES literals."""
+    emb = _emb(spark, sf_dir)
+    cb = _ivf_pq_codebook()
+    return (
+        similarity.ivf_pq_topk(
+            emb, emb.filter(F.col("vec_id") < 3), cb["coarse"], cb["pq"], k=10
+        )
+        .select("query_id", "rank", "vec_id", F.round("cos", 4).alias("cos_r"))
+        .orderBy("query_id", "rank")
+    )
+
+
 def q_lsh_topk(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     return (
@@ -791,6 +837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_brute_force_topk": q_ann_topk,
         "lang_id_counts": q_lang_id,
         "token_stats": q_token_stats,
+        "token_stats_bpe": q_token_stats_bpe,
         "doc_fingerprint": q_fingerprint,
         "quality_score": q_quality,
         "events_hourly": q_events_hourly,
@@ -828,6 +875,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": q_lsh_topk,
         "ann_ivf_topk": q_ivf_topk,
         "ann_ivf_codebook_topk": q_ivf_codebook_topk,
+        "ann_ivf_pq_topk": q_ivf_pq_topk,
         "multimodal_features": q_multimodal_features,
     }
 
@@ -1315,6 +1363,151 @@ def _ann_ivf_codebook_sql(k: int = 10, n_probe: int = 4) -> str:
     )
 
 
+def _token_stats_bpe_sql() -> str:
+    """Recursive-CTE twin of textstats.token_stats_bpe: the pinned
+    merges as VALUES; a word is encoded as chr(1)||tok||chr(2) units so
+    plain replace() applies one merge left-to-right non-overlapping
+    (adjacent matches share no delimiter, so the scan can't skip a
+    post-replacement pair -- the same contract as the engine's token
+    fold); token count = count of chr(1) markers. Merges apply in
+    pinned order via the i-indexed recursion; counts aggregate per word
+    INSTANCE."""
+    from structured_data_entity_extraction_spark.ops.textstats import load_bpe_merges
+
+    merges = load_bpe_merges()
+    unit = lambda t: f"chr(1)||'{_sq(t)}'||chr(2)"
+    rows = ", ".join(
+        f"({i}, {unit(a)}||{unit(b)}, {unit(a + b)})" for i, (a, b) in enumerate(merges)
+    )
+    return rf"""
+        WITH RECURSIVE merges(i, pat, rep) AS (VALUES {rows}),
+        wordinst AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(trim(coalesce(text, '')), '\s+')) AS w
+          FROM documents
+        ),
+        words AS (SELECT DISTINCT w FROM wordinst WHERE w != ''),
+        enc AS (
+          SELECT w,
+                 array_to_string(
+                   list_transform(regexp_split_to_array(w, ''),
+                                  c -> chr(1)||c||chr(2)), '') AS s,
+                 0 AS i
+          FROM words
+          UNION ALL
+          SELECT e.w, replace(e.s, m.pat, m.rep), e.i + 1
+          FROM enc e JOIN merges m ON m.i = e.i
+        ),
+        final AS (
+          SELECT w, length(s) - length(replace(s, chr(1), '')) AS n_toks
+          FROM enc WHERE i = {len(merges)}
+        ),
+        counts AS (
+          SELECT wi.doc_id, sum(f.n_toks) AS n_bpe
+          FROM wordinst wi JOIN final f ON f.w = wi.w
+          GROUP BY wi.doc_id
+        )
+        SELECT d.doc_id,
+               CASE WHEN trim(coalesce(d.text, '')) = '' THEN 0
+                    ELSE len(string_split_regex(trim(d.text), '\s+')) END AS n_words,
+               CAST(coalesce(c.n_bpe, 0) AS BIGINT) AS n_tokens_bpe
+        FROM documents d LEFT JOIN counts c USING (doc_id)
+        ORDER BY doc_id
+    """
+
+
+def _ann_ivf_pq_sql(k: int = 10, n_probe: int = 4, rerank: int = 32) -> str:
+    """Pure-DuckDB twin of similarity.ivf_pq_topk: coarse assignment,
+    per-subspace PQ encode (argmin L2^2 via list_zip diff +
+    list_inner_product, ties -> lowest code), ADC score = cos(query,
+    reconstruction) rounded to 6 dp before the rerank cutoff (the
+    shared determinism contract -- see the operator docstring), exact
+    rerank of the top ``rerank``. Both codebooks as VALUES literals."""
+    cb = _ivf_pq_codebook()
+    m, dsub = len(cb["pq"]), len(cb["pq"][0][0])
+    cents = ", ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in cv)}]::DOUBLE[])"
+        for i, cv in enumerate(cb["coarse"])
+    )
+    pqc = ", ".join(
+        f"({mi}, {ci}, [{', '.join(repr(float(x)) for x in cv)}]::DOUBLE[])"
+        for mi, sub in enumerate(cb["pq"])
+        for ci, cv in enumerate(sub)
+    )
+    return f"""
+        WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        cents(cell, cv) AS (VALUES {cents}),
+        pqc(m, code, cv) AS (VALUES {pqc}),
+        corpus_cell AS (
+          SELECT vec_id, v, cell FROM (
+            SELECT e.vec_id, e.v, c.cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell ASC) AS rn
+            FROM emb e CROSS JOIN cents c
+          ) WHERE rn = 1
+        ),
+        qcells AS (
+          SELECT vec_id AS query_id, v AS qv, cell FROM (
+            SELECT e.vec_id, e.v, c.cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                                      ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cell ASC) AS rn
+            FROM emb e CROSS JOIN cents c WHERE e.vec_id < 3
+          ) WHERE rn <= {n_probe}
+        ),
+        enc AS (
+          SELECT cc.vec_id, p.m, p.code,
+                 list_transform(
+                   list_zip(cc.v[p.m*{dsub}+1 : p.m*{dsub}+{dsub}], p.cv),
+                   z -> z[1] - z[2]) AS d
+          FROM corpus_cell cc CROSS JOIN pqc p
+        ),
+        codes AS (
+          SELECT vec_id, m, code FROM (
+            SELECT vec_id, m, code,
+                   row_number() OVER (PARTITION BY vec_id, m
+                                      ORDER BY list_inner_product(d, d) ASC, code ASC) AS rn
+            FROM enc
+          ) WHERE rn = 1
+        ),
+        cand AS (
+          SELECT qc.query_id, qc.qv, cc.vec_id
+          FROM corpus_cell cc JOIN qcells qc USING (cell)
+          WHERE cc.vec_id != qc.query_id
+        ),
+        adc AS (
+          SELECT c.query_id, c.vec_id, any_value(c.qv) AS qv,
+                 round(
+                   CASE WHEN sqrt(list_inner_product(any_value(c.qv), any_value(c.qv))) > 0
+                         AND sqrt(sum(list_inner_product(p.cv, p.cv))) > 0
+                        THEN sum(list_inner_product(
+                               c.qv[p.m*{dsub}+1 : p.m*{dsub}+{dsub}], p.cv))
+                             / (sqrt(list_inner_product(any_value(c.qv), any_value(c.qv)))
+                                * sqrt(sum(list_inner_product(p.cv, p.cv))))
+                        ELSE 0.0 END, 6) AS adc
+          FROM cand c
+          JOIN codes kk ON kk.vec_id = c.vec_id
+          JOIN pqc p ON p.m = kk.m AND p.code = kk.code
+          GROUP BY c.query_id, c.vec_id
+        ),
+        shortlist AS (
+          SELECT query_id, vec_id, qv FROM (
+            SELECT query_id, vec_id, qv,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY adc DESC, vec_id ASC) AS arank
+            FROM adc
+          ) WHERE arank <= {rerank}
+        ),
+        ranked AS (
+          SELECT s.query_id, e.vec_id, list_cosine_similarity(s.qv, e.v) AS cos,
+                 row_number() OVER (PARTITION BY s.query_id
+                                    ORDER BY list_cosine_similarity(s.qv, e.v) DESC, e.vec_id ASC) AS rank
+          FROM shortlist s JOIN emb e ON e.vec_id = s.vec_id
+        )
+        SELECT query_id, rank, vec_id, round(cos, 4) AS cos_r
+        FROM ranked WHERE rank <= {k} ORDER BY query_id, rank
+    """
+
+
 def _ann_ivf_sql(k: int = 10, n_centroids: int = 16, n_probe: int = 4) -> str:
     """Pure-DuckDB twin of similarity.ivf_topk with the default
     (codebook-less) quantizer: centroids = the n_centroids lowest-id
@@ -1574,6 +1767,7 @@ def oracle_sql() -> dict[str, str]:
                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_subwords
             FROM documents ORDER BY doc_id
         """,
+        "token_stats_bpe": _token_stats_bpe_sql(),
         "doc_fingerprint": _SHINGLES_CTE.format(filt="")
         + """
             SELECT doc_id, min(substring(md5(shingle), 1, 16)) AS fingerprint
@@ -1882,6 +2076,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": _ann_lsh_sql(),
         "ann_ivf_topk": _ann_ivf_sql(),
         "ann_ivf_codebook_topk": _ann_ivf_codebook_sql(),
+        "ann_ivf_pq_topk": _ann_ivf_pq_sql(),
         "multimodal_features": _golden_oracle(
             "multimodal_features",
             "asset_id, kind, n_bytes, dec_width, dec_height, dec_sample_rate,"

