@@ -545,7 +545,9 @@ def _hex_unpack(bcol: str, flag: str):
     )
 
 
-def build_triples(candidates: DataFrame, nodes: DataFrame) -> DataFrame:
+def build_triples(
+    candidates: DataFrame, nodes: DataFrame, write_salt: int = 8
+) -> DataFrame:
     """candidates + canonical nodes -> (subj, pred, obj) triples.
 
     Dedup strategy (the scale-critical part): exactly ONE shuffle of
@@ -612,23 +614,43 @@ def build_triples(candidates: DataFrame, nodes: DataFrame) -> DataFrame:
             _hex_pack("content_sha").alias("_content_sha_b"),
             _is_hex("content_sha").alias("_sha_hex"),
             F.coalesce("score", F.lit(1.0)).alias("conf"),
+            # write-salt: a deterministic function of the PACKED dedup
+            # key (not the raw doc_id -- "AB"/"ab" pack to one key but
+            # would hash to different salts and split a dup group), so
+            # every duplicate group shares one salt value and clustering
+            # on (bucket, lang, salt) still co-locates whole groups
+            F.pmod(
+                F.xxhash64(
+                    _hex_pack("doc_id"),
+                    _is_hex("doc_id"),
+                    pred,
+                    F.coalesce("node_canonical", "value"),
+                ),
+                F.lit(write_salt),
+            ).cast("int").alias("_ws"),
         )
         # ONE exchange serves BOTH the dedup and the final write layout:
         # dup triples share their doc, hence their (repo_bucket, lang),
         # so an explicit repartition on the write-partition columns
         # clusters every dup group into one partition; the groupBy keeps
-        # (repo_bucket, lang) IN its key set, so HashPartitioning on
+        # the repartition columns IN its key set, so HashPartitioning on
         # that subset already satisfies the aggregate's clustered
         # distribution -- Catalyst plans NO second exchange (plan-gated)
         # and the aggregate runs partition-local. Without this fold the
         # dedup exchange hashed on the (mostly unique) triple key and
         # the partitionBy write then emitted a file per task per
         # (bucket, lang) value -- a small-files explosion at scale.
-        # Hot-partition note: key cardinality is bucket_count x |langs|;
-        # size bucket_count to the cluster (64 default is a local[32]
-        # setting, not a 1000-executor one).
-        .repartition("repo_bucket", "lang")
-        .groupBy("repo_bucket", "lang", "_doc_id_b", "_doc_hex", "pred", "obj")
+        # The key-derived _ws salt fixes the fold's own scale ceiling:
+        # bare (bucket, lang) has bucket_count x |langs| (~384 default)
+        # distinct values, capping the dedup at 384 reduce tasks no
+        # matter how many executors the cluster has, with ~1.6x
+        # balls-into-bins skew at 32 partitions. Salting multiplies the
+        # key space by write_salt (unbounded parallelism again) while
+        # the partitioned write still sees AT MOST write_salt part-files
+        # per (bucket, lang) directory -- bounded, vs one-per-task
+        # without the fold.
+        .repartition("repo_bucket", "lang", "_ws")
+        .groupBy("repo_bucket", "lang", "_ws", "_doc_id_b", "_doc_hex", "pred", "obj")
         .agg(
             F.max("repo").alias("repo"),
             # flag + bytes aggregated as ONE struct so both always come
@@ -669,5 +691,12 @@ def build_triples(candidates: DataFrame, nodes: DataFrame) -> DataFrame:
         # every (repo_bucket, lang) value and the partitioned write would
         # emit |tasks| x |values| tiny files from this side. One exchange
         # of a |docs|-sized frame (mentions already collapsed map-side).
-    ).repartition("repo_bucket", "lang")
+        # Salted like the doc branch (rows are already unique per doc,
+        # so any doc-derived hash keeps correctness; the salt only lifts
+        # the 384-task parallelism cap).
+    ).repartition(
+        F.col("repo_bucket"),
+        F.col("lang"),
+        F.pmod(F.xxhash64("doc_id"), F.lit(write_salt)).cast("int"),
+    )
     return doc_triples.unionByName(repo_triples)

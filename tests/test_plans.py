@@ -129,12 +129,15 @@ def test_simhash_candidates_plan_is_one_join(spark):
 
 def test_build_triples_dedup_reuses_write_clustering(spark):
     """r5 verdict #1: ONE exchange -- the explicit repartition on the
-    write-partition columns (repo_bucket, lang) -- serves BOTH the
-    triple dedup and the final partitioned-write clustering. The dedup
-    aggregate keeps those columns in its key set, so HashPartitioning
-    on the subset satisfies its clustered distribution and Catalyst
-    must not plan a second ENSURE_REQUIREMENTS exchange on the
-    6-column dedup key."""
+    write-partition columns plus the key-derived salt (repo_bucket,
+    lang, _ws) -- serves BOTH the triple dedup and the final
+    partitioned-write clustering. The dedup aggregate keeps the
+    repartition columns in its key set, so HashPartitioning on the
+    subset satisfies its clustered distribution and Catalyst must not
+    plan a second ENSURE_REQUIREMENTS exchange on the full dedup key.
+    The salt lifts the bucket_count x |langs| (~384) parallelism cap a
+    bare (bucket, lang) key would impose at cluster scale, while the
+    write still sees at most write_salt files per hive partition."""
     from structured_data_entity_extraction_spark import codekg
 
     cand = spark.createDataFrame(
@@ -145,10 +148,18 @@ def test_build_triples_dedup_reuses_write_clustering(spark):
     nodes = spark.createDataFrame([("numpy", "numpy")], "surface string, canonical string")
     p = _plan(codekg.build_triples(cand, nodes))
     assert "REPARTITION_BY_COL" in p
+    assert "_ws" in p  # the salt is a materialized column, in the exchange
     # the dedup key columns never appear in any exchange's partitioning
     assert not any(
         "Exchange" in ln and "_doc_id_b" in ln for ln in p.splitlines()
     ), p
+    # exactly the intended shuffles -- the salted repartition per union
+    # branch plus doc_dim's map-side-combined per-doc aggregate; the
+    # salted dedup aggregate must NOT have re-introduced its own
+    # ENSURE_REQUIREMENTS exchange on top of the REPARTITION_BY_COL one
+    shuffles = [ln for ln in p.splitlines() if "Exchange hashpartitioning" in ln]
+    assert len(shuffles) == 3, p
+    assert sum("ENSURE_REQUIREMENTS" in ln for ln in shuffles) == 1, p
 
 
 def test_simhash_popcount_filter_runs_before_pair_distinct(spark):

@@ -3,6 +3,8 @@ across restarts (file-source checkpoint)."""
 
 from __future__ import annotations
 
+import pytest
+
 from structured_data_entity_extraction_spark import codekg
 from structured_data_entity_extraction_spark.fixtures import repos_src_rows
 from structured_data_entity_extraction_spark.schemas import REPOS_SRC
@@ -265,3 +267,83 @@ def test_sessionize_stateful_carries_state_across_batches(spark, tmp_path):
     # 15 min past the TRUE frontier (base+30) -> same session; with the
     # regressed frontier (base-10) this would falsely open session 2
     assert got4[1] == (1, 5)
+
+
+def test_stream_mid_batch_abort_restart_self_heals(spark, tmp_path, monkeypatch):
+    """VERDICT r5 #7 pytest twin: the driver dies INSIDE foreachBatch
+    after the mentions commit but before candidates/sidecar (fault
+    injected into the link step, the same cut point as a kill -9 there;
+    the live SIGKILL version is tools/stream_kill_probe.py, recorded in
+    BENCH.md). The streaming query FAILS with the batch half-landed; a
+    restart from the SAME checkpoint redelivers the micro-batch, the
+    bootstrap self-heal path resumes mentions under the identity guard
+    and rebuilds candidates + sidecar, and the finalize run matches a
+    from-scratch warehouse bit-for-bit."""
+    import pyspark.errors
+
+    from structured_data_entity_extraction_spark import pipeline as pl
+    from structured_data_entity_extraction_spark.materialize import StageStore
+    from structured_data_entity_extraction_spark.pipeline import run_codekg_pipeline
+
+    rows = repos_src_rows(60, seed=77)
+    inp = str(tmp_path / "in")
+    wh = str(tmp_path / "wh")
+    ckpt = str(tmp_path / "ckpt")
+    _write_input(spark, rows, inp)
+
+    real_ingest = pl.ingest_repos_batch
+    state = {"killed": False}
+
+    def dying_ingest(bspark, store, batch_df, **kw):
+        if not state["killed"]:
+            # run the REAL bootstrap up to the cut point: mentions
+            # committed, then die before link/sidecar (monkeypatching
+            # link_mentions keeps every commit/guard on the real path)
+            from structured_data_entity_extraction_spark import codekg as ck
+
+            real_link = ck.link_mentions
+
+            def bomb(*a, **k):
+                state["killed"] = True
+                raise RuntimeError("injected mid-batch death")
+
+            monkeypatch.setattr(ck, "link_mentions", bomb)
+            try:
+                return real_ingest(bspark, store, batch_df, **kw)
+            finally:
+                monkeypatch.setattr(ck, "link_mentions", real_link)
+        return real_ingest(bspark, store, batch_df, **kw)
+
+    monkeypatch.setattr(pl, "ingest_repos_batch", dying_ingest)
+    q = stream_repos_src(spark, inp, wh, ckpt)
+    with pytest.raises(pyspark.errors.StreamingQueryException):
+        q.awaitTermination(120)
+    assert state["killed"]
+    store = StageStore(wh)
+    assert store.is_complete("mentions")  # data landed...
+    assert not store.is_complete("candidates")  # ...batch never finished
+    assert not store.has_input_pairs()  # died before the sidecar
+
+    # restart from the same checkpoint: the offset log never committed
+    # batch 0, so it is REDELIVERED; bootstrap dispatch keys on the LAST
+    # stage and self-heals (mentions resumed under the identity guard)
+    monkeypatch.setattr(pl, "ingest_repos_batch", real_ingest)
+    q2 = stream_repos_src(spark, inp, wh, ckpt)
+    q2.awaitTermination(120)
+    assert store.is_complete("mentions") and store.is_complete("candidates")
+    assert store.has_input_pairs()
+    assert store.read_input_pairs(spark).count() == 60
+
+    # finalize over the full input resumes the streamed stages and the
+    # triples match a from-scratch warehouse bit-for-bit
+    m = run_codekg_pipeline(spark, _df(spark, rows), wh, run_id="fin")
+    assert m["stages"]["mentions"]["resumed"] is True
+    assert m["stages"]["candidates"]["resumed"] is True
+    scratch = str(tmp_path / "scratch")
+    run_codekg_pipeline(spark, _df(spark, rows), scratch, run_id="s")
+    tcols = StageStore(wh).read(spark, "triples").columns
+    got = sorted(map(tuple, StageStore(wh).read(spark, "triples").select(*tcols).collect()))
+    want = sorted(
+        map(tuple, StageStore(scratch).read(spark, "triples").select(*tcols).collect())
+    )
+    assert got == want
