@@ -501,6 +501,34 @@ def q_entity_cooccurrence_exact(spark, sf_dir):
     ).orderBy("src", "dst")
 
 
+def q_entity_pagerank(spark, sf_dir):
+    """KG analytics: PageRank over the symmetrized imports-co-occurrence
+    entity graph (r6, ops/graph.py). Edges come from the exact_tail
+    co-occurrence (skew-safe plan, equals uncapped counts), symmetrized
+    so the graph has no dangling nodes -- redistribute and leak modes
+    coincide, and the oracle needs no dangling term. 5 power
+    iterations, damping 0.85; ranks rounded to 6 dp (the shared
+    cross-engine determinism contract). Oracle: the SAME iterations
+    UNROLLED as chained CTEs over the full codekg-pipeline SQL."""
+    from pyspark.sql import functions as F
+
+    from structured_data_entity_extraction_spark import codekg
+    from structured_data_entity_extraction_spark.ops import graph
+
+    df = spark.read.parquet(_REPOS_FIXTURE)
+    triples = codekg.build_kg(df, use_lsh=True)
+    cooc = codekg.entity_cooccurrence(
+        triples, pred="imports", max_per_doc=4, exact_tail=True
+    )
+    edges = cooc.select("src", "dst").unionByName(
+        cooc.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    pr = graph.pagerank(edges, iterations=5, damping=0.85)
+    return pr.select(
+        F.col("node").alias("entity"), F.round("rank", 6).alias("pr_rank")
+    ).orderBy("entity")
+
+
 # probe surface forms for the flagship fuzzy-link stage: planted
 # near-misses (the fixture's pandas2/reactjs/tokios/net\/https family),
 # exact dim aliases, threshold-boundary edits, and garbage that must
@@ -537,6 +565,20 @@ def q_deterministic_sample(spark, sf_dir):
         sampling.deterministic_sample(_docs(spark, sf_dir), 0.2)
         .select("doc_id")
         .orderBy("doc_id")
+    )
+
+
+def q_shuffle_shards(spark, sf_dir):
+    """Deterministic training-order shuffle (r6): shard-major,
+    md5-minor total order as a pure function of (doc_id, salt) -- no
+    single-partition global sort, reproducible under any partitioning
+    or engine."""
+    from structured_data_entity_extraction_spark.ops import sampling
+
+    return (
+        sampling.shuffle_shards(_docs(spark, sf_dir), n_shards=16, salt="ep0")
+        .select("doc_id", "shard", "sort_key")
+        .orderBy("shard", "sort_key")
     )
 
 
@@ -854,6 +896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_signals": q_repetition_signals,
         "entity_cooccurrence": q_entity_cooccurrence,
         "entity_cooccurrence_exact": q_entity_cooccurrence_exact,
+        "entity_pagerank": q_entity_pagerank,
         "asof_join_last_purchase": q_asof_join,
         "asof_join_bucketed": q_asof_join_bucketed,
         "interval_join_signup_window": q_interval_join,
@@ -862,6 +905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_quartiles": q_customer_quartiles,
         "codekg_lsh_alias_map": q_codekg_lsh_alias_map,
         "deterministic_sample_docs": q_deterministic_sample,
+        "corpus_shuffle_shards": q_shuffle_shards,
         "stratified_sample_events": q_stratified_sample,
         "pii_scrub_counts": q_pii_scrub,
         # golden-fixture oracles (reference-derived / pure-Python twin
@@ -1361,6 +1405,63 @@ def _ann_ivf_codebook_sql(k: int = 10, n_probe: int = 4) -> str:
         """
         + _ivf_body_sql(k, n_probe)
     )
+
+
+def _entity_pagerank_sql(iterations: int = 5, damping: float = 0.85) -> str:
+    """Unrolled power-iteration PageRank over the symmetrized imports
+    co-occurrence graph, composed over the full codekg-pipeline SQL.
+    Unrolled (one chained CTE per iteration) rather than recursive: a
+    recursive CTE may reference itself only once, but each step needs
+    the previous ranks in BOTH the contribution join and the
+    keep-every-node outer frame. The graph is symmetrized, so there
+    are no dangling nodes and no dangling-mass term (the engine query
+    runs dangling="redistribute", whose mass is identically zero
+    here). Ranks rounded to 6 dp -- the shared cross-engine
+    determinism contract (float sum order differs at ~1e-15)."""
+    base = 1.0 - damping  # same float path as ops/graph.pagerank
+    steps = []
+    for k in range(1, iterations + 1):
+        steps.append(f"""
+        r{k} AS (
+          SELECT n.node,
+                 {base!r} / (SELECT nn FROM cnt)
+                   + {damping!r} * coalesce(s.contrib, 0.0) AS rank
+          FROM prnodes n LEFT JOIN (
+            SELECT p.dst AS node, sum(r.rank / d.od) AS contrib
+            FROM r{k - 1} r
+            JOIN prpairs p ON r.node = p.src
+            JOIN prdeg d ON d.src = p.src
+            GROUP BY p.dst
+          ) s ON n.node = s.node
+        )""")
+    return f"""
+        WITH t AS MATERIALIZED ({_codekg_triples_sql()}),
+        e0 AS MATERIALIZED (
+          SELECT DISTINCT doc_id, obj FROM t WHERE pred = 'imports'
+        ),
+        cp AS (
+          SELECT a.obj AS src, b.obj AS dst
+          FROM e0 a JOIN e0 b ON a.doc_id = b.doc_id AND a.obj < b.obj
+          GROUP BY 1, 2
+        ),
+        -- MATERIALIZED is load-bearing on every multiply-referenced
+        -- CTE: DuckDB otherwise INLINES them, so each unrolled
+        -- iteration re-expands the whole pipeline SQL above -- an
+        -- exponential tree whose repeated parquet scans exhaust the
+        -- process's file handles before it exhausts the planner
+        prpairs AS MATERIALIZED (
+          SELECT src, dst FROM cp UNION SELECT dst, src FROM cp
+        ),
+        prnodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM prpairs),
+        cnt AS MATERIALIZED (SELECT count(*)::DOUBLE AS nn FROM prnodes),
+        prdeg AS MATERIALIZED (
+          SELECT src, count(*)::DOUBLE AS od FROM prpairs GROUP BY src
+        ),
+        r0 AS (SELECT node, 1.0 / (SELECT nn FROM cnt) AS rank FROM prnodes),
+        {",".join(steps)}
+        SELECT node AS entity, round(rank, 6) AS pr_rank
+        FROM r{iterations} ORDER BY entity
+    """
 
 
 def _token_stats_bpe_sql() -> str:
@@ -1898,6 +1999,17 @@ def oracle_sql() -> dict[str, str]:
                   / 4294967296.0 < 0.2
             ORDER BY doc_id
         """,
+        # r6: deterministic training-order shuffle (shard-major,
+        # md5-minor) -- same md5 mechanism as the samplers
+        "corpus_shuffle_shards": """
+            SELECT doc_id, shard, sort_key FROM (
+              SELECT doc_id,
+                     md5(coalesce(doc_id::VARCHAR, '') || '|ep0') AS sort_key,
+                     (('0x' || substring(md5(coalesce(doc_id::VARCHAR, '') || '|ep0'), 1, 8))::UBIGINT
+                      % 16)::INT AS shard
+              FROM documents
+            ) ORDER BY shard, sort_key
+        """,
         "stratified_sample_events": """
             SELECT event_id, event_type FROM events
             WHERE ('0x' || substring(md5(coalesce(event_id::VARCHAR, '') || '|'), 1, 8))::UBIGINT
@@ -2041,6 +2153,8 @@ def oracle_sql() -> dict[str, str]:
             FROM e a JOIN e b ON a.doc_id = b.doc_id AND a.obj < b.obj
             GROUP BY 1, 2 ORDER BY src, dst
         """,
+        # r6: PageRank unrolled over the same composed pipeline SQL
+        "entity_pagerank": _entity_pagerank_sql(),
         "avaluo_triples": _golden_oracle("avaluo_triples"),
         # r4: the flagship's oracle is the full pipeline as pure SQL --
         # the codekg golden parquet is no longer read by ANY oracle

@@ -68,3 +68,43 @@ def stratified_sample(
     for value, f in sorted(fractions.items()):
         frac = F.when(F.col(stratum_col) == value, F.lit(float(f))).otherwise(frac)
     return df.filter(sample_hash_col(F.col(key_col), salt) < frac)
+
+
+def shuffle_shards(
+    df: DataFrame,
+    n_shards: int,
+    key_col: str = "doc_id",
+    salt: str = "",
+    cluster: bool = False,
+) -> DataFrame:
+    """Deterministic global shuffle for training-data ordering.
+
+    Training runs need the corpus in a reproducible pseudo-random
+    order; a global ``orderBy(rand())`` is seed-per-partitioning (like
+    ``sample()``) and a global ``row_number`` forces a single-partition
+    window at 100 TB. Instead: ``shard`` = md5-derived bucket,
+    ``sort_key`` = the full md5 hex -- the total order (shard-major,
+    sort_key-minor) is a pure function of (key, salt), identical under
+    any partitioning, cluster size, retry, or engine (DuckDB twin:
+    ``('0x' || substring(md5(k || '|' || salt), 1, 8))::UBIGINT %
+    n_shards``). A different ``salt`` is a fresh independent epoch
+    order.
+
+    ``cluster=True`` additionally repartitions by shard and sorts
+    within partitions -- the write-side layout (one sorted file per
+    shard via ``partitionBy("shard")``); at scale this is the ONLY
+    data movement, one shuffle, no global sort barrier.
+    """
+    h = F.md5(
+        F.concat(
+            F.coalesce(F.col(key_col).cast("string"), F.lit("")), F.lit("|" + salt)
+        )
+    )
+    out = df.withColumn("sort_key", h).withColumn(
+        "shard",
+        (F.conv(F.substring(F.col("sort_key"), 1, 8), 16, 10).cast("long")
+         % F.lit(int(n_shards))).cast("int"),
+    )
+    if cluster:
+        out = out.repartition("shard").sortWithinPartitions("sort_key")
+    return out

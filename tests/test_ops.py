@@ -520,6 +520,43 @@ def test_deterministic_sample_partition_invariant(spark):
     assert len(keep1 & alt) < len(keep1)
 
 
+def test_shuffle_shards_order_is_partition_invariant(spark):
+    """r6 shuffle_shards: the (shard, sort_key) total order is a pure
+    function of (key, salt) -- identical under any input partitioning;
+    a different salt is an independent epoch order; cluster=True plans
+    exactly one exchange (no global sort barrier)."""
+    from structured_data_entity_extraction_spark.ops import sampling
+
+    df = spark.createDataFrame([(i,) for i in range(400)], "doc_id long")
+
+    def order(frame, salt):
+        out = sampling.shuffle_shards(frame, n_shards=16, salt=salt)
+        return [
+            r["doc_id"]
+            for r in out.orderBy("shard", "sort_key").select("doc_id").collect()
+        ]
+
+    o1 = order(df.repartition(13), "ep0")
+    assert o1 == order(df.coalesce(1), "ep0")  # partitioning-invariant
+    assert sorted(o1) == list(range(400))  # a permutation, nothing lost
+    assert o1 != list(range(400))  # actually shuffled
+    o2 = order(df, "ep1")
+    assert o2 != o1  # fresh epoch order
+    shards = {
+        r["shard"]
+        for r in sampling.shuffle_shards(df, 16).select("shard").distinct().collect()
+    }
+    assert shards <= set(range(16)) and len(shards) > 8
+    plan = (
+        sampling.shuffle_shards(df, 16, cluster=True)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert sum("Exchange hashpartitioning" in ln for ln in plan.splitlines()) == 1
+    assert "rangepartitioning" not in plan  # no global sort barrier
+
+
 def test_pii_scrub_planted(spark):
     df = spark.createDataFrame(
         [
