@@ -529,6 +529,26 @@ def q_entity_pagerank(spark, sf_dir):
     ).orderBy("entity")
 
 
+def q_entity_triangles(spark, sf_dir):
+    """KG analytics: per-entity triangle counts over the imports
+    co-occurrence graph (r6, ops/graph.triangle_count -- degree-ordered
+    wedge counting, the Suri-Vassilvitskii bound on hub wedges).
+    Oracle: an INDEPENDENT algorithm -- canonical lo<mid<hi three-way
+    edge join in DuckDB, composed over the full pipeline SQL."""
+    from structured_data_entity_extraction_spark import codekg
+    from structured_data_entity_extraction_spark.ops import graph
+
+    df = spark.read.parquet(_REPOS_FIXTURE)
+    triples = codekg.build_kg(df, use_lsh=True)
+    cooc = codekg.entity_cooccurrence(
+        triples, pred="imports", max_per_doc=4, exact_tail=True
+    )
+    tc = graph.triangle_count(cooc.select("src", "dst"))
+    return tc.select(
+        F.col("node").alias("entity"), F.col("n_triangles").cast("long").alias("n_triangles")
+    ).orderBy("entity")
+
+
 # probe surface forms for the flagship fuzzy-link stage: planted
 # near-misses (the fixture's pandas2/reactjs/tokios/net\/https family),
 # exact dim aliases, threshold-boundary edits, and garbage that must
@@ -897,6 +917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_cooccurrence": q_entity_cooccurrence,
         "entity_cooccurrence_exact": q_entity_cooccurrence_exact,
         "entity_pagerank": q_entity_pagerank,
+        "entity_triangles": q_entity_triangles,
         "asof_join_last_purchase": q_asof_join,
         "asof_join_bucketed": q_asof_join_bucketed,
         "interval_join_signup_window": q_interval_join,
@@ -1461,6 +1482,43 @@ def _entity_pagerank_sql(iterations: int = 5, damping: float = 0.85) -> str:
         {",".join(steps)}
         SELECT node AS entity, round(rank, 6) AS pr_rank
         FROM r{iterations} ORDER BY entity
+    """
+
+
+def _entity_triangles_sql() -> str:
+    """Per-entity triangle counts by an algorithm INDEPENDENT of the
+    engine's degree-ordered wedge counting: enumerate each triangle
+    once as a canonical lo < mid < hi three-way join over the
+    canonical (lo < hi) undirected edge set, then credit all three
+    corners. MATERIALIZED on the shared CTEs for the same
+    inlining/file-handle reason as the PageRank oracle."""
+    return f"""
+        WITH t AS MATERIALIZED ({_codekg_triples_sql()}),
+        e0 AS MATERIALIZED (
+          SELECT DISTINCT doc_id, obj FROM t WHERE pred = 'imports'
+        ),
+        ce AS MATERIALIZED (
+          SELECT a.obj AS lo, b.obj AS hi
+          FROM e0 a JOIN e0 b ON a.doc_id = b.doc_id AND a.obj < b.obj
+          GROUP BY 1, 2
+        ),
+        tri AS (
+          SELECT x.lo AS a, x.hi AS b, y.hi AS c
+          FROM ce x
+          JOIN ce y ON y.lo = x.hi
+          JOIN ce z ON z.lo = x.lo AND z.hi = y.hi
+        ),
+        corners AS (
+          SELECT a AS node FROM tri
+          UNION ALL SELECT b FROM tri
+          UNION ALL SELECT c FROM tri
+        ),
+        vertices AS (SELECT lo AS node FROM ce UNION SELECT hi FROM ce)
+        SELECT v.node AS entity, coalesce(cnt.n, 0) AS n_triangles
+        FROM vertices v LEFT JOIN (
+          SELECT node, count(*) AS n FROM corners GROUP BY node
+        ) cnt ON v.node = cnt.node
+        ORDER BY entity
     """
 
 
@@ -2155,6 +2213,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # r6: PageRank unrolled over the same composed pipeline SQL
         "entity_pagerank": _entity_pagerank_sql(),
+        "entity_triangles": _entity_triangles_sql(),
         "avaluo_triples": _golden_oracle("avaluo_triples"),
         # r4: the flagship's oracle is the full pipeline as pure SQL --
         # the codekg golden parquet is no longer read by ANY oracle

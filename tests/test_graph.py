@@ -72,3 +72,32 @@ def test_empty_and_bad_mode(spark):
     assert graph.pagerank(df).count() == 0
     with pytest.raises(ValueError):
         graph.pagerank(df, dangling="bogus")
+
+
+def _tri(spark, edges):
+    df = spark.createDataFrame(edges, "src string, dst string")
+    return {
+        r["node"]: r["n_triangles"] for r in graph.triangle_count(df).collect()
+    }
+
+
+def test_triangle_count_k4_star_pendant(spark):
+    k4 = [(a, b) for a in "abcd" for b in "abcd" if a < b]
+    got = _tri(spark, k4)
+    assert got == {v: 3 for v in "abcd"}  # each K4 node is in 3 triangles
+    star = [("hub", f"l{i}") for i in range(5)]
+    assert _tri(spark, star) == {**{"hub": 0}, **{f"l{i}": 0 for i in range(5)}}
+    pendant = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d")]
+    assert _tri(spark, pendant) == {"a": 1, "b": 1, "c": 1, "d": 0}
+
+
+def test_triangle_count_canonicalizes_input(spark):
+    # reversed duplicates + self-loop must collapse to the clean graph
+    messy = [("a", "b"), ("b", "a"), ("b", "c"), ("c", "a"), ("a", "a")]
+    assert _tri(spark, messy) == {"a": 1, "b": 1, "c": 1}
+
+
+def test_triangle_count_plan_has_no_nested_loop(spark):
+    df = spark.createDataFrame([("a", "b"), ("b", "c"), ("c", "a")], "src string, dst string")
+    p = graph.triangle_count(df)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p and "NestedLoopJoin" not in p, p
