@@ -335,16 +335,21 @@ def q_stream_sessionize_batch(spark, sf_dir):
         .parquet(sf_dir)
     )
     name = f"sess_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="sess_ckpt_")
     q = (
         sessionize_stateful(stream)
         .writeStream.format("memory")
         .queryName(name)
         .outputMode("update")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="sess_ckpt_"))
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
+    # bounded wait: an availableNow query that cannot drain (e.g. the
+    # glob matches nothing) must FAIL the gate loudly, not hang it
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("stream_sessionize_batch: stream did not drain in 300s")
     # update-mode sink appends one row per (user, batch); the FINAL row
     # per user is the one with the cumulative max n_events (robust even
     # if a future fixture splits into several micro-batches of one file)
@@ -361,7 +366,15 @@ def q_stream_sessionize_batch(spark, sf_dir):
         )
         .orderBy("user_id")
     )
-    return out
+    # detach the result from the memory sink, then drop the sink table
+    # and the checkpoint dir: repeated invocations (bench rounds,
+    # rescue re-runs) must not accumulate temp views or /tmp dirs
+    import shutil
+
+    rows = out.collect()
+    spark.catalog.dropTempView(name)
+    shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.createDataFrame(rows, out.schema)
 
 
 def q_rollup_orders(spark, sf_dir):

@@ -50,7 +50,7 @@ def _kg_inputs(spark):
     return docs, repos
 
 
-def bench_queries(spark, sf_dir: str) -> tuple[dict, dict, dict]:
+def bench_queries(spark, sf_dir: str) -> tuple[dict, dict, dict, dict]:
     import __spark_entry__ as entry
     from structured_data_entity_extraction_spark import codekg
     from structured_data_entity_extraction_spark.link import avaluo_records

@@ -550,6 +550,18 @@ def build_triples(
 ) -> DataFrame:
     """candidates + canonical nodes -> (subj, pred, obj) triples.
 
+    PRECONDITION (r6 fold): ``repo_bucket`` and ``lang`` must be
+    doc_id-functional -- every row of one doc_id carries one
+    (repo_bucket, lang) pair. extract_code_mentions guarantees this by
+    construction (both derive from the doc's repo/lang); the fold
+    RELIES on it twice: the dedup groupBy keys on (repo_bucket, lang),
+    so a doc_id spanning two pairs would emit one triple per pair
+    (r5's max()-fold collapsed them to an arbitrary winner), and the
+    claim that one repartition co-locates every dup group is only true
+    when dup rows agree on the partition columns. Synthetic frames
+    that violate it get deterministic-but-per-pair rows, not silent
+    corruption of real-pipeline outputs.
+
     Dedup strategy (the scale-critical part): exactly ONE shuffle of
     the mention stream. The node join is an explicit broadcast (nodes
     is the canonicalized alias dim -- a dimension table at any scale),

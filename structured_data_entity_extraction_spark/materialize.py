@@ -408,7 +408,9 @@ class StageStore:
         if self.iceberg_catalog:
             spark.sql(
                 f"CALL {self.iceberg_catalog}.system.rewrite_data_files"
-                f"(table => '{self.iceberg_namespace}.{stage}')"
+                f"(table => '{self.iceberg_namespace}.{stage}', "
+                f"options => map('target-file-size-bytes', "
+                f"'{int(target_file_mb) * (1 << 20)}'))"
             )
             return {"stage": stage, "route": "iceberg_rewrite_data_files"}
         old = self.manifest(stage)
@@ -416,7 +418,8 @@ class StageStore:
         data_path = os.path.join(d, "data")
         tmp_path = os.path.join(d, "data.compacting")
         old_dir = os.path.join(d, "data.precompact")
-        for p in (tmp_path, old_dir):  # scratch from an earlier crash
+        lin_tmp = os.path.join(d, "_lineage.compacting")
+        for p in (tmp_path, old_dir, lin_tmp):  # scratch from an earlier crash
             if os.path.exists(p):
                 shutil.rmtree(p)
         partition_by = old.get("partition_by") or []
@@ -449,14 +452,26 @@ class StageStore:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(tmp_path)
 
-        # verification gate BEFORE any destructive step: rows + sha fold
+        # verification gate BEFORE any destructive step: rows + sha fold.
+        # The lineage frame is WRITTEN here (one scan of the compacted
+        # data, outside the marker) and its totals read back from the
+        # tiny written copy -- the swap below then just renames it, so
+        # the marker window holds no full-stage scan. Lineage rows
+        # carry no file paths (stage/partition_id/rows/sha), so the
+        # tmp-computed frame is valid verbatim after the rename.
         compacted = spark.read.parquet(tmp_path)
-        new_lin = lineage_frame(compacted, stage, self.run_id)
-        new_tot = new_lin.agg(
-            F.sum("rows").alias("rows"),
-            F.sum(F.col("content_sha_sum").cast("decimal(38,0)")).alias("sha"),
-            F.count(F.lit(1)).alias("parts"),
-        ).collect()[0]
+        lineage_frame(compacted, stage, self.run_id).write.mode(
+            "overwrite"
+        ).parquet(lin_tmp)
+        new_tot = (
+            spark.read.parquet(lin_tmp)
+            .agg(
+                F.sum("rows").alias("rows"),
+                F.sum(F.col("content_sha_sum").cast("decimal(38,0)")).alias("sha"),
+                F.count(F.lit(1)).alias("parts"),
+            )
+            .collect()[0]
+        )
         old_tot = (
             spark.read.parquet(os.path.join(d, "_lineage"))
             .agg(
@@ -467,6 +482,7 @@ class StageStore:
         )
         if (new_tot["rows"], new_tot["sha"]) != (old_tot["rows"], old_tot["sha"]):
             shutil.rmtree(tmp_path)
+            shutil.rmtree(lin_tmp, ignore_errors=True)
             raise RuntimeError(
                 f"compact verification failed for stage '{stage}': "
                 f"rows/sha {new_tot['rows']}/{new_tot['sha']} vs committed "
@@ -478,8 +494,8 @@ class StageStore:
         self.begin_append([stage])
         os.rename(data_path, old_dir)
         os.rename(tmp_path, data_path)
-        new_lin = lineage_frame(spark.read.parquet(data_path), stage, self.run_id)
-        new_lin.write.mode("overwrite").parquet(os.path.join(d, "_lineage"))
+        shutil.rmtree(os.path.join(d, "_lineage"))
+        os.rename(lin_tmp, os.path.join(d, "_lineage"))
         manifest = dict(old)
         manifest.update(
             {

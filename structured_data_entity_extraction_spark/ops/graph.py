@@ -89,16 +89,25 @@ def pagerank(
     # edges carry their source's out-degree and are partitioned on src
     # ONCE; every iteration's join then exchanges only the rank frame
     ee = e.join(deg, "src").repartition("src").localCheckpoint()
+    # the dangling-node SET is loop-invariant -- materialize it once so
+    # each round pays one semi-join + scalar agg, not a recomputed deg
+    # aggregation plus an anti-join
+    dangling_nodes = (
+        nodes.join(deg.withColumnRenamed("src", "node"), "node", "left_anti")
+        .localCheckpoint()
+        if dangling == "redistribute"
+        else None
+    )
 
     ranks = nodes.select("node", F.lit(1.0 / n).alias("rank")).localCheckpoint()
     base = (1.0 - damping) / n
     for _ in range(iterations):
         dm = 0.0
-        if dangling == "redistribute":
+        if dangling_nodes is not None:
             # mass parked on nodes with no out-edges, redistributed
-            # uniformly: a scalar agg on the persisted |V|-sized frame
+            # uniformly: a scalar agg on the checkpointed |V|-sized frame
             row = (
-                ranks.join(deg.withColumnRenamed("src", "node"), "node", "left_anti")
+                ranks.join(dangling_nodes, "node", "left_semi")
                 .agg(F.sum("rank"))
                 .first()
             )

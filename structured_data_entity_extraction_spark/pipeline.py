@@ -154,11 +154,24 @@ def ingest_repos_batch(
 
     Idempotent under at-least-once delivery (``replay_ok``): a
     redelivered batch whose docs ALL already sit in the warehouse is a
-    no-op, and a bootstrap crash between the mentions and candidates
-    commits self-heals (dispatch keys on the LAST bootstrap stage, so
-    the replay resumes mentions -- identity-guarded -- and builds
-    candidates)."""
-    if store.is_complete("mentions") and store.is_complete("candidates"):
+    no-op, and a bootstrap crash ANYWHERE before the sidecar _SUCCESS
+    self-heals: dispatch keys on the LAST bootstrap artifact (the
+    input-identity sidecar), so a replay after a crash between the
+    stage commits -- or in the invariant-report/sidecar window after
+    the candidates commit, where several Spark jobs run outside any
+    marker -- re-enters the bootstrap path, resumes the committed
+    stages under the identity guard, and rebuilds the sidecar. Without
+    the sidecar condition that window dispatched to the APPEND path,
+    whose mentions-derived fallback guard drops zero-mention docs from
+    the identity set (the crash-loop / digest-double-count ADVICE r5
+    flagged). A legacy batch warehouse (no sidecar) streamed into with
+    a DIFFERENT batch now refuses via the input-identity guard instead
+    of silently degrading -- refusal is the guard working."""
+    if (
+        store.is_complete("mentions")
+        and store.is_complete("candidates")
+        and store.has_input_pairs()
+    ):
         return append_repos_batch(
             spark,
             store,
@@ -205,12 +218,13 @@ def ingest_repos_batch(
         }
     # sidecar LAST: run_stage has now either built the stages from this
     # batch or resumed them under the identity guard, so the sidecar
-    # can never describe an input the warehouse does not hold. Bracketed
-    # by the torn-append marker: a crash between the candidates commit
-    # and the sidecar _SUCCESS would otherwise leave a committed
-    # warehouse with NO sidecar -- the next delivery silently falls back
-    # to the mentions-derived id guard, zero-mention docs drop out of the
-    # identity set, and a later re-append double-counts the digest.
+    # can never describe an input the warehouse does not hold. The
+    # whole post-candidates window (invariant-report jobs + this
+    # write) is crash-safe WITHOUT a wider marker because the stream
+    # dispatch keys on the sidecar itself: no _SUCCESS -> the
+    # redelivered batch re-enters bootstrap and self-heals. The marker
+    # around the write additionally catches a torn multi-file sidecar
+    # on the batch (run_codekg_pipeline) path, which has no redelivery.
     store.begin_append(["_input_pairs"])
     store.write_input_pairs(pairs)
     store.end_append()

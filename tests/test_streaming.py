@@ -347,3 +347,60 @@ def test_stream_mid_batch_abort_restart_self_heals(spark, tmp_path, monkeypatch)
         map(tuple, StageStore(scratch).read(spark, "triples").select(*tcols).collect())
     )
     assert got == want
+
+
+def test_stream_post_commit_pre_sidecar_abort_self_heals(spark, tmp_path, monkeypatch):
+    """Code-review r6 finding: the window AFTER the candidates commit
+    but BEFORE the sidecar _SUCCESS (the invariant-report jobs) is
+    outside any marker. The fix keys the stream dispatch on the sidecar
+    itself: a redelivered batch that finds both stages committed but NO
+    sidecar must re-enter the BOOTSTRAP path (resume under the identity
+    guard, rebuild the sidecar), not the append path whose
+    mentions-derived fallback drops zero-mention docs."""
+    import pyspark.errors
+
+    from structured_data_entity_extraction_spark import pipeline as pl
+    from structured_data_entity_extraction_spark.materialize import StageStore
+    from structured_data_entity_extraction_spark.pipeline import run_codekg_pipeline
+
+    rows = repos_src_rows(50, seed=78)
+    inp = str(tmp_path / "in")
+    wh = str(tmp_path / "wh")
+    ckpt = str(tmp_path / "ckpt")
+    _write_input(spark, rows, inp)
+
+    real_rep = pl.sha_invariant_report
+    state = {"boom": True}
+
+    def dying_report(df, pairs, digest):
+        if state["boom"]:
+            state["boom"] = False
+            raise RuntimeError("injected post-commit pre-sidecar death")
+        return real_rep(df, pairs, digest)
+
+    monkeypatch.setattr(pl, "sha_invariant_report", dying_report)
+    q = stream_repos_src(spark, inp, wh, ckpt)
+    with pytest.raises(pyspark.errors.StreamingQueryException):
+        q.awaitTermination(120)
+    store = StageStore(wh)
+    # the poisoned window: both stages committed, sidecar absent
+    assert store.is_complete("mentions") and store.is_complete("candidates")
+    assert not store.has_input_pairs()
+
+    # restart: batch 0 redelivered (offset never committed); dispatch
+    # sees the missing sidecar and self-heals via bootstrap resume
+    q2 = stream_repos_src(spark, inp, wh, ckpt)
+    q2.awaitTermination(120)
+    assert store.has_input_pairs()
+    assert store.read_input_pairs(spark).count() == 50
+
+    m = run_codekg_pipeline(spark, _df(spark, rows), wh, run_id="fin")
+    assert m["stages"]["mentions"]["resumed"] is True
+    scratch = str(tmp_path / "scratch")
+    run_codekg_pipeline(spark, _df(spark, rows), scratch, run_id="s")
+    tcols = StageStore(wh).read(spark, "triples").columns
+    got = sorted(map(tuple, StageStore(wh).read(spark, "triples").select(*tcols).collect()))
+    want = sorted(
+        map(tuple, StageStore(scratch).read(spark, "triples").select(*tcols).collect())
+    )
+    assert got == want
