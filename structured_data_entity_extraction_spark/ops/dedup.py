@@ -91,11 +91,24 @@ def ngram_jaccard_pairs(
     the UNROUNDED ratio (rounding happens only in the projected column)
     so boundary values agree with the oracle.
 
-    Shingles cross the inverted-index shuffle + self-join as 8-byte
-    md5-prefix keys, not full k-gram strings (the decontam pattern:
-    ~3-10x fewer shuffle bytes at identical semantics; collision odds
-    ~n^2/2^64 are the same that bound every MinHash band here). The
-    oracle mirrors substring(md5(shingle), 1, 16)."""
+    Shingles cross the inverted-index shuffle as 8-byte md5-prefix
+    keys, not full k-gram strings (the decontam pattern: ~3-10x fewer
+    shuffle bytes at identical semantics; collision odds ~n^2/2^64 are
+    the same that bound every MinHash band here). The oracle mirrors
+    substring(md5(shingle), 1, 16).
+
+    Shape: ONE exchange groups the exploded shingles into a sorted
+    distinct doc list per shingle key (collect_set == the oracle's
+    DISTINCT doc_id, hkey), the cap is a size filter on the list, and
+    candidate pairs come from an in-place i<j expansion of each list --
+    the r6 self-join needed two more exchanges of the inverted index
+    plus a sort-merge to produce the exact same pair stream. The
+    per-pair count aggregation (the true quadratic cost any
+    inverted-index similarity join pays) is unchanged; a conservative
+    count lower bound (ratio >= t implies n_common >= t*n_a, since the
+    union is at least n_a) prunes the 100:1 non-candidate tail between
+    the two size joins, so only near-qualifying pairs reach the second
+    one."""
     sh = (
         _ensure_parallelism(df)
         .select(
@@ -103,25 +116,53 @@ def ngram_jaccard_pairs(
             F.explode(shingles_col(F.col(text_col), k)).alias("_s"),
         )
         .select("doc_id", F.unhex(F.substring(F.md5("_s"), 1, 16)).alias("hkey"))
-        .distinct()
     )
+    lists = sh.groupBy("hkey").agg(F.sort_array(F.collect_set("doc_id")).alias("docs"))
     if df_cap:
-        rare = (
-            sh.groupBy("hkey")
-            .agg(F.count("*").alias("_df"))
-            .filter(F.col("_df") <= df_cap)
-            .select("hkey")
+        lists = lists.filter(F.size("docs") <= df_cap)
+    # the capped lists feed two consumers (per-doc sizes, pair stream);
+    # without persistence each re-runs the scan+shingle+group subtree
+    lists = persist_tracked(lists)
+    # eager materialization: the two consumers are independent subtrees
+    # that the scheduler submits concurrently, racing to build the same
+    # cache blocks (redundant compute + block-lock waits) otherwise
+    lists.count()
+    sizes = (
+        lists.select(F.explode("docs").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_sh"))
+    )
+    # docs is sorted ascending, so the nested i<j expansion emits each
+    # unordered pair once with id_a < id_b -- exactly the rows of the
+    # old a.hkey = b.hkey AND a.doc_id < b.doc_id self-join. Lambdas
+    # reference only the cached `docs` column, never a derived subtree.
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("docs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("docs"), i + 2, F.lit(1 << 30)),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
         )
-        sh = sh.join(rare, "hkey", "left_semi")
-    # the inverted index feeds three consumers (sizes, both join sides);
-    # without persistence each re-runs the scan+shingle+cap subtree
-    sh = persist_tracked(sh)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    )
+    # The pair stream is near-unique (measured: 127M rows -> 126.5M
+    # groups at 50k docs), so a pre-shuffle partial aggregation builds
+    # giant per-task hash maps for zero reduction (measured: 11.7 GB
+    # spilled, 54 s GC on the map side alone). Hash-repartitioning on
+    # the pair key FIRST moves the whole aggregation post-shuffle --
+    # the exchange carries the same bytes (nothing was reducing), and
+    # the explicit fan-out keeps each task's group map at tens of MB
+    # instead of letting AQE coalesce toward 64 MB targets whose ~8M
+    # groups per task spill. 4x defaultParallelism scales with the
+    # cluster, not the corpus constant (and stays under the default
+    # bypass-merge threshold on a 32-core local run, so the map side
+    # writes partition files directly instead of sort-spilling).
+    n_pair_parts = df.sparkSession.sparkContext.defaultParallelism * 4
     common = (
-        a.join(b, (F.col("a.hkey") == F.col("b.hkey")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        lists.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .repartition(n_pair_parts, "id_a", "id_b")
+        .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_common"))
     )
     sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
@@ -129,6 +170,11 @@ def ngram_jaccard_pairs(
     ratio = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
     return (
         common.join(sa, "id_a")
+        # sound pre-filter: ratio >= t  =>  n_common >= t * n_a (union
+        # >= n_a). The 1e-9 slack over-admits borderline pairs rather
+        # than risking a ulp-level false drop; the exact filter below
+        # decides them.
+        .filter(F.col("n_common") >= threshold * F.col("n_a") - 1e-9)
         .join(sb, "id_b")
         .filter(ratio >= threshold)
         .select("id_a", "id_b", F.round(ratio, 6).alias("jaccard"))
@@ -176,22 +222,38 @@ def minhash_lsh_pairs(
     handles residual imbalance. One shuffle for the signature agg, one
     for the band join, one narrow rejoin for the gram arrays."""
     n_bands = num_hashes // rows_per_band
-    # grams feed the signature branch AND both rerank join sides
-    sh = (
-        _ensure_parallelism(df).select(
-            F.col(id_col).alias("doc_id"), shingles_col(F.col(text_col), k).alias("grams")
-        )
-        .filter(F.size("grams") > 0)
+    # grams feed the signature branch AND both rerank join sides.
+    # Null-text rows are dropped with a plain IsNotNull BEFORE the
+    # shingle projection: the old filter(size(grams) > 0) was exactly
+    # equivalent (shingles_col never yields an empty array, only null
+    # for null text) but, referencing the derived column, it was pushed
+    # below the repartition Exchange where it re-ran the whole shingle
+    # expression on the (few) scan partitions. IsNotNull reaches the
+    # parquet scan as a pushed filter instead.
+    sh = _ensure_parallelism(df.filter(F.col(text_col).isNotNull())).select(
+        F.col(id_col).alias("doc_id"), shingles_col(F.col(text_col), k).alias("grams")
     )
     # hashed grams computed ONCE here (inside the persist) -- both
     # rerank join sides reuse them, instead of re-hashing every gram
-    # per side. No array_distinct: grams are distinct per doc already,
-    # and array_intersect/array_union dedupe their OUTPUT anyway, so a
-    # 2^-64 within-doc hash collision still yields the oracle's
-    # distinct-count ratio
+    # per side. The element is the md5 64-bit prefix BIJECTIVELY packed
+    # into a long (two 32-bit conv halves), not a binary/hex value:
+    # array_intersect on long arrays takes the primitive open-hash-set
+    # path, while non-primitive element types fall back to an O(n*m)
+    # pairwise-equality scan (measured: ~150us vs ~5us per pair).
+    # Bijective, so set sizes equal the oracle's distinct-hex counts
+    # exactly. array_distinct makes size(hgrams) the oracle's
+    # distinct-hashed-set count even under a 2^-64 within-doc md5
+    # collision, so the rerank below can use pure count arithmetic.
     sh = sh.withColumn(
         "hgrams",
-        F.transform(F.col("grams"), lambda g: F.unhex(F.substring(F.md5(g), 1, 16))),
+        F.array_distinct(
+            F.transform(
+                F.transform(F.col("grams"), lambda g: F.substring(F.md5(g), 1, 16)),
+                lambda h: F.shiftleft(
+                    F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), 32
+                ).bitwiseOR(F.conv(F.substring(h, 9, 8), 16, 10).cast("long")),
+            )
+        ),
     )
     sh = persist_tracked(sh)
     mins = [minhash_col(F.col("grams"), i).alias(f"h{i}") for i in range(num_hashes)]
@@ -200,10 +262,18 @@ def minhash_lsh_pairs(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        "|",
-                        *[F.col(f"h{b * rows_per_band + r}") for r in range(rows_per_band)],
+                # unhex: the oracle's hex band key md5 is bijective with
+                # its 16 raw bytes, so joining on the binary form keeps
+                # the exact candidate set at half the shuffle bytes
+                F.unhex(
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.col(f"h{b * rows_per_band + r}")
+                                for r in range(rows_per_band)
+                            ],
+                        )
                     )
                 ).alias("key"),
             )
@@ -213,6 +283,13 @@ def minhash_lsh_pairs(
     banded = sigs.select("doc_id", F.explode(band_entries).alias("bk")).select(
         "doc_id", "bk.band", "bk.key"
     )
+    # the band frame is BOTH self-join sides; persisting it (and
+    # materializing eagerly, which also builds the sh cache underneath
+    # in the same single pass -- no concurrent-subtree cache race) means
+    # the 16-minhash signature pass runs once, not once per side
+    # (measured: ~45 core-seconds per duplicate pass at 50k docs)
+    banded = persist_tracked(banded)
+    banded.count()
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -224,15 +301,21 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
     )
+    # re-spread the candidate pairs before the rerank: their shuffle is
+    # tiny (a few MB), so AQE coalesces the post-distinct stage down to
+    # 1-2 partitions -- and the rerank's per-pair array intersections
+    # (the CPU-heavy part) would run single-threaded (measured: a 15 s
+    # one-task stage). A keyless REPARTITION_BY_NUM is AQE-stable.
+    cand = cand.repartition(df.sparkSession.sparkContext.defaultParallelism)
     # the exact rerank crosses its joins as arrays of 8-byte md5-prefix
-    # keys, not full gram strings (~3-10x fewer bytes; array_intersect/
-    # array_union are set ops, so a within-doc collision cannot change
-    # the ratio differently than the oracle's distinct hashed counts)
+    # keys, not full gram strings (~3-10x fewer bytes). hgrams is
+    # distinct per doc, so |A∪B| = |A| + |B| - |A∩B| exactly -- one
+    # array_intersect per pair instead of intersect + union (the oracle
+    # denominator IS n_a + n_b - n_common over distinct hashed sets).
     ga = sh.select(F.col("doc_id").alias("id_a"), F.col("hgrams").alias("grams_a"))
     gb = sh.select(F.col("doc_id").alias("id_b"), F.col("hgrams").alias("grams_b"))
-    ratio = F.size(F.array_intersect("grams_a", "grams_b")) / F.size(
-        F.array_union("grams_a", "grams_b")
-    )
+    n_common = F.size(F.array_intersect("grams_a", "grams_b"))
+    ratio = n_common / (F.size("grams_a") + F.size("grams_b") - n_common)
     return (
         cand.join(ga, "id_a")
         .join(gb, "id_b")

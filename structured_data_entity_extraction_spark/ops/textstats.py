@@ -94,22 +94,36 @@ def quality_score_col(text: Column) -> Column:
 
 
 def shingles_col(text: Column, k: int = 3) -> Column:
-    """Word k-gram shingle array (distinct), built-ins only:
-    split -> sliding windows via transform over index sequence."""
+    """Word k-gram shingle array (distinct), built-ins only.
+
+    Sliding windows come from zip_with over k-1 shifted slices of the
+    token array, NOT from ``transform(sequence(...), i -> slice(toks,
+    i+1, k))``: higher-order-function lambdas are interpreted, so an
+    outer expression referenced inside the lambda body (here the
+    ``split``) is re-evaluated PER ELEMENT -- the old form paid one
+    regex split per token per row (~50x), and a filter on the result
+    pushed below an Exchange repeated all of it on the scan partitions.
+    The zip_with form references ``toks`` only as whole-array inputs, a
+    constant ~k+2 split evaluations per row. zip_with pads the shorter
+    side with nulls and concat propagates them, so the trailing
+    (k-1) partial windows become null and one null-filter drops them.
+    Output (order and values) is identical to the old form: windows in
+    index order, first-occurrence-deduped."""
     toks = F.split(F.trim(F.lower(text)), r"\s+")
     n = F.size(toks)
+    windows = toks
+    for j in range(1, k):
+        windows = F.zip_with(
+            windows,
+            # 2^30: "rest of the array" without start+length Int overflow
+            F.slice(toks, j + 1, F.lit(1 << 30)),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
     # guard: fewer than k tokens -> single shingle of the whole text
     return F.when(
         n < k, F.array(F.concat_ws(" ", toks))
     ).otherwise(
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), n - k),
-                lambda i: F.concat_ws(
-                    " ", F.slice(toks, i + 1, k)
-                ),
-            )
-        )
+        F.array_distinct(F.filter(windows, lambda s: s.isNotNull()))
     )
 
 
