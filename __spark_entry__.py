@@ -92,33 +92,39 @@ _MARKERS = ["spark", "merge", "join", "filter"]
 
 def q_vote_top1(spark, sf_dir):
     """L3/A2 analogue: per-doc marker frequency vote, argmax with
-    first-listed tiebreak, docs with no hits dropped."""
-    from pyspark.sql import Window
+    first-listed tiebreak, docs with no hits dropped.
 
+    The argmax is a row-local array_max over (cnt, -rank, marker)
+    structs -- struct ordering compares cnt first, then -rank (so the
+    first-listed marker wins ties), and -rank is unique so the marker
+    field never decides. Same result as the old explode + per-doc
+    window row_number, without shuffling |docs| x |markers| rows or
+    sorting per doc: the only remaining exchange is the final orderBy."""
     docs = _docs(spark, sf_dir)
+    # regexp_count: the same per-marker occurrence count as
+    # size(regexp_extract_all(...)) without materializing an array of
+    # matched substrings per doc per marker
     cnts = [
-        F.size(
-            F.regexp_extract_all(F.lower("text"), F.lit(rf"\b{m}\b"), F.lit(0))
-        ).alias(f"c_{m}")
+        F.regexp_count(F.lower("text"), F.lit(rf"\b{m}\b")).alias(f"c_{m}")
         for m in _MARKERS
     ]
     scored = docs.select("doc_id", *cnts)
-    stacked = scored.select(
-        "doc_id",
-        F.explode(
-            F.arrays_zip(
-                F.array(*[F.lit(i) for i in range(len(_MARKERS))]).alias("rank"),
-                F.array(*[F.lit(m) for m in _MARKERS]).alias("marker"),
-                F.array(*[F.col(f"c_{m}") for m in _MARKERS]).alias("cnt"),
-            )
-        ).alias("z"),
-    ).select("doc_id", "z.rank", "z.marker", "z.cnt")
-    w = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), F.asc("rank"))
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    F.col(f"c_{m}").alias("cnt"),
+                    F.lit(-i).alias("negrank"),
+                    F.lit(m).alias("marker"),
+                )
+                for i, m in enumerate(_MARKERS)
+            ]
+        )
+    )
     return (
-        stacked.filter(F.col("cnt") > 0)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("doc_id", F.col("marker").alias("winner"), F.col("cnt").alias("votes"))
+        scored.select("doc_id", best.alias("b"))
+        .filter(F.col("b.cnt") > 0)
+        .select("doc_id", F.col("b.marker").alias("winner"), F.col("b.cnt").alias("votes"))
         .orderBy("doc_id")
     )
 

@@ -125,8 +125,15 @@ def ngram_jaccard_pairs(
     lists = persist_tracked(lists)
     # eager materialization: the two consumers are independent subtrees
     # that the scheduler submits concurrently, racing to build the same
-    # cache blocks (redundant compute + block-lock waits) otherwise
-    lists.count()
+    # cache blocks (redundant compute + block-lock waits) otherwise.
+    # The same pass collects the doc-id range, deciding whether a pair
+    # of ids can be packed into one long below.
+    _stats = lists.agg(
+        F.min(F.array_min("docs")).alias("lo"), F.max(F.array_max("docs")).alias("hi")
+    ).first()
+    _packable = (
+        _stats["lo"] is not None and _stats["lo"] >= 0 and _stats["hi"] < (1 << 31)
+    )
     sizes = (
         lists.select(F.explode("docs").alias("doc_id"))
         .groupBy("doc_id")
@@ -136,15 +143,30 @@ def ngram_jaccard_pairs(
     # unordered pair once with id_a < id_b -- exactly the rows of the
     # old a.hkey = b.hkey AND a.doc_id < b.doc_id self-join. Lambdas
     # reference only the cached `docs` column, never a derived subtree.
-    pair_structs = F.flatten(
-        F.transform(
-            F.col("docs"),
-            lambda x, i: F.transform(
-                F.slice(F.col("docs"), i + 2, F.lit(1 << 30)),
-                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-            ),
+    # When both ids fit in 31 bits (checked against the REAL id range
+    # above -- bijective, so result-identical), the pair travels as ONE
+    # packed long: a narrower exchange, and the single-long groupBy key
+    # takes the codegen fast-map path instead of 2-field row hashing.
+    if _packable:
+        pair_items = F.flatten(
+            F.transform(
+                F.col("docs"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("docs"), i + 2, F.lit(1 << 30)),
+                    lambda y: F.shiftleft(x, 32).bitwiseOR(y),
+                ),
+            )
         )
-    )
+    else:
+        pair_items = F.flatten(
+            F.transform(
+                F.col("docs"),
+                lambda x, i: F.transform(
+                    F.slice(F.col("docs"), i + 2, F.lit(1 << 30)),
+                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                ),
+            )
+        )
     # The pair stream is near-unique (measured: 127M rows -> 126.5M
     # groups at 50k docs), so a pre-shuffle partial aggregation builds
     # giant per-task hash maps for zero reduction (measured: 11.7 GB
@@ -158,13 +180,25 @@ def ngram_jaccard_pairs(
     # bypass-merge threshold on a 32-core local run, so the map side
     # writes partition files directly instead of sort-spilling).
     n_pair_parts = df.sparkSession.sparkContext.defaultParallelism * 4
-    common = (
-        lists.select(F.explode(pair_structs).alias("p"))
-        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
-        .repartition(n_pair_parts, "id_a", "id_b")
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_common"))
-    )
+    exploded = lists.select(F.explode(pair_items).alias("p"))
+    if _packable:
+        common = (
+            exploded.repartition(n_pair_parts, "p")
+            .groupBy("p")
+            .agg(F.count("*").alias("n_common"))
+            .select(
+                F.shiftrightunsigned("p", 32).alias("id_a"),
+                F.col("p").bitwiseAND(F.lit((1 << 32) - 1)).alias("id_b"),
+                "n_common",
+            )
+        )
+    else:
+        common = (
+            exploded.select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+            .repartition(n_pair_parts, "id_a", "id_b")
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_common"))
+        )
     sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
     ratio = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
@@ -501,8 +535,13 @@ def simhash_pairs(
         F.col(id_col).alias("doc_id"), simhash_udf(F.col(text_col)).alias("sim")
     )
     # the exploded frame feeds both self-join sides; without persistence
-    # each side re-runs the simhash pUDF over the whole corpus
+    # each side re-runs the simhash pUDF over the whole corpus. Eager
+    # materialization: the two sides are submitted as concurrent
+    # subtrees that otherwise race to build the same cache blocks, each
+    # paying a full pUDF pass plus block-lock waits (the minhash
+    # finding; same fix).
     h = persist_tracked(h)
+    h.count()
     return simhash_candidates(h, max_hamming=max_hamming, n_blocks=n_blocks).select(
         "id_a", "id_b", "hamming"
     )
