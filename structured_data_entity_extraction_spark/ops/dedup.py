@@ -290,31 +290,61 @@ def minhash_lsh_pairs(
         ),
     )
     sh = persist_tracked(sh)
-    mins = [minhash_col(F.col("grams"), i).alias(f"h{i}") for i in range(num_hashes)]
-    sigs = sh.select("doc_id", *mins)
-    band_entries = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                # unhex: the oracle's hex band key md5 is bijective with
-                # its 16 raw bytes, so joining on the binary form keeps
-                # the exact candidate set at half the shuffle bytes
-                F.unhex(
-                    F.md5(
-                        F.concat_ws(
-                            "|",
-                            *[
-                                F.col(f"h{b * rows_per_band + r}")
-                                for r in range(rows_per_band)
-                            ],
-                        )
-                    )
-                ).alias("key"),
-            )
-            for b in range(n_bands)
-        ]
+    # ALL num_hashes minhashes in ONE traversal of the gram array: an
+    # aggregate whose accumulator is the running per-hash minimum (the
+    # '￿' sentinel byte-compares above every hex char, so the
+    # least-merge equals array_min over each per-hash transform for any
+    # non-empty gram array -- and grams is never empty after the
+    # IsNotNull filter). The old form ran num_hashes separate
+    # transform+array_min traversals per row; same md5 calls, ~16x the
+    # array-iteration and intermediate-allocation overhead. minhash_col
+    # stays as the exported per-hash form (dimension-sized callers).
+    fused_mins = F.aggregate(
+        F.col("grams"),
+        F.array_repeat(F.lit("￿"), num_hashes),
+        lambda acc, g: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.substring(F.md5(F.concat(F.lit(f"{i}:"), g)), 1, 16)
+                    for i in range(num_hashes)
+                ]
+            ),
+            lambda a, b: F.least(a, b),
+        ),
     )
-    banded = sigs.select("doc_id", F.explode(band_entries).alias("bk")).select(
+
+    def _band_entries(mins: F.Column) -> F.Column:
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    # unhex: the oracle's hex band key md5 is bijective
+                    # with its 16 raw bytes, so joining on the binary
+                    # form keeps the exact candidate set at half the
+                    # shuffle key bytes
+                    F.unhex(
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[
+                                    F.element_at(mins, b * rows_per_band + r + 1)
+                                    for r in range(rows_per_band)
+                                ],
+                            )
+                        )
+                    ).alias("key"),
+                )
+                for b in range(n_bands)
+            ]
+        )
+
+    # let-binding trick: transform over a 1-element array evaluates the
+    # fused aggregate ONCE and hands it to the lambda as a variable --
+    # referencing it directly from every band entry would re-run the
+    # whole traversal per band
+    band_entries = F.element_at(F.transform(F.array(fused_mins), _band_entries), 1)
+    banded = sh.select("doc_id", F.explode(band_entries).alias("bk")).select(
         "doc_id", "bk.band", "bk.key"
     )
     # the band frame is BOTH self-join sides; persisting it (and

@@ -245,7 +245,12 @@ def ivf_pq_topk(
         for mi in range(m)
     ]
 
-    c = corpus.select(
+    from .dedup import _ensure_parallelism
+
+    # the embeddings table scans as a single split, which would run the
+    # CPU-heavy encode/ADC projection below on one core (measured: a
+    # 2.5 s one-task stage at sf0.1); round-robin spread first
+    c = _ensure_parallelism(corpus).select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("cvec"),
     )
