@@ -66,12 +66,18 @@ def connected_components(
         .distinct()
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    if (
-        method == "auto"
-        and small_threshold
-        and sym.limit(small_threshold + 1).count() <= small_threshold
-    ):
-        pairs = [(r["a"], r["b"]) for r in sym.collect()]
+    probe = (
+        sym.limit(small_threshold + 1).collect()
+        if method == "auto" and small_threshold
+        else None
+    )
+    if probe is not None and len(probe) <= small_threshold:
+        # the bounded probe ALREADY IS the full edge set (limit(n+1)
+        # returned <= n rows), so the size check and the fast-path
+        # fetch are one action instead of two driver round-trips;
+        # union-find with min-root merging is pair-order-independent,
+        # so the limit's arbitrary ordering cannot change components
+        pairs = [(r["a"], r["b"]) for r in probe]
         sym.unpersist()
         parent: dict = {}
 

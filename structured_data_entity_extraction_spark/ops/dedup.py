@@ -128,8 +128,11 @@ def ngram_jaccard_pairs(
     # cache blocks (redundant compute + block-lock waits) otherwise.
     # The same pass collects the doc-id range, deciding whether a pair
     # of ids can be packed into one long below.
+    _sz = F.size("docs").cast("long")
     _stats = lists.agg(
-        F.min(F.array_min("docs")).alias("lo"), F.max(F.array_max("docs")).alias("hi")
+        F.min(F.array_min("docs")).alias("lo"),
+        F.max(F.array_max("docs")).alias("hi"),
+        F.sum(_sz * (_sz - 1) / 2).cast("long").alias("n_pairs"),
     ).first()
     _packable = (
         _stats["lo"] is not None and _stats["lo"] >= 0 and _stats["hi"] < (1 << 31)
@@ -173,13 +176,17 @@ def ngram_jaccard_pairs(
     # spilled, 54 s GC on the map side alone). Hash-repartitioning on
     # the pair key FIRST moves the whole aggregation post-shuffle --
     # the exchange carries the same bytes (nothing was reducing), and
-    # the explicit fan-out keeps each task's group map at tens of MB
+    # an explicit fan-out keeps each task's group map at tens of MB
     # instead of letting AQE coalesce toward 64 MB targets whose ~8M
-    # groups per task spill. 4x defaultParallelism scales with the
-    # cluster, not the corpus constant (and stays under the default
-    # bypass-merge threshold on a 32-core local run, so the map side
-    # writes partition files directly instead of sort-spilling).
-    n_pair_parts = df.sparkSession.sparkContext.defaultParallelism * 4
+    # groups per task spill (AQE can coalesce but never SPLIT a
+    # non-join shuffle). The fan-out is derived from the EXACT pair
+    # count (sum of C(df,2), free in the eager stats pass): ~1M pairs
+    # (~50 MB of group map) per reduce task, floored at the cluster
+    # parallelism -- scale-adaptive per guide §2, not a local constant.
+    n_pair_parts = max(
+        df.sparkSession.sparkContext.defaultParallelism,
+        min(4096, int((_stats["n_pairs"] or 0) // 1_000_000) + 1),
+    )
     exploded = lists.select(F.explode(pair_items).alias("p"))
     if _packable:
         common = (

@@ -56,7 +56,11 @@ def brute_force_topk(
     """(query_id, vec_id, cos, rank) exact top-k neighbors per query.
     Query set is broadcast (small); corpus never shuffles until the
     per-query window."""
-    c = corpus.select(
+    from .dedup import _ensure_parallelism
+
+    # single-split embeddings scan would run all |corpus| x |queries|
+    # cosines on one core (the scoring is the whole query)
+    c = _ensure_parallelism(corpus).select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("cvec")
     )
     q = queries.select(
@@ -128,7 +132,12 @@ def ivf_topk(
         )
         return F.slice(F.array_sort(scored), 1, n).getField("cell")
 
-    c = corpus.select(
+    from .dedup import _ensure_parallelism
+
+    # spread the scan before the per-row coarse-cell assignment (the
+    # literal-centroid l2 argmin is the CPU-heavy part; one split
+    # would serialize it)
+    c = _ensure_parallelism(corpus).select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("cvec")
     ).withColumn("cell", best_cells(F.col("cvec"), 1)[0])
     q = queries.select(
