@@ -142,14 +142,48 @@ def ngram_jaccard_pairs(
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_sh"))
     )
+    # Length-filter pre-prune (sound): n_common <= min(n_a, n_b) and
+    # |A∪B| >= max(n_a, n_b), so jaccard <= min/max -- a pair whose
+    # sizes differ by more than a factor 1/threshold can NEVER qualify
+    # and is dropped BEFORE the pair exchange and the (hash-agg-
+    # dominated) count (guide §2.3: shuffle fewer bytes; measured
+    # 129M -> 98M pairs at t=0.5 on the 50k-doc corpus -- candidate
+    # pairs are size-biased toward long docs, so the kill rate is
+    # below the ~40% an independence model predicts; at t=0.8 the
+    # filter remove most of the stream). The 1e-9 slack over-admits
+    # ulp-borderline pairs; the exact unrounded filter below still
+    # decides every surviving pair, so the result set is bit-identical.
+    # Mechanics: two broadcast-hash joins attach (n_a, n_b) to the
+    # pair stream BEFORE its exchange; the codegen'd probes measured
+    # cheaper than either alternative tried at the 129M-pair scale (an
+    # in-expansion filter over size-carrying struct elements doubled
+    # the interpreted-HOF generation cost and gave the win back; a
+    # post-exchange numpy/mapInArrow count+prune kernel paid the
+    # Arrow transfer of the full pair stream -- both A/B'd, see
+    # OPTIMIZATION_r07.md). Guarded by the id RANGE from the eager
+    # stats pass: the filter needs `sizes` on the build side of two
+    # broadcast joins over the pair stream, which is only provably
+    # dimension-sized when the id range is (<= 1M ids -> a few MB
+    # broadcast). At corpus scale (10^9 sparse ids) the guard turns
+    # the prune off and the operator behaves exactly as before; an
+    # unguarded join could degrade to a sort-merge that re-shuffles
+    # the pair stream by id (guide §8: the attach-back join must not
+    # sneak the big shuffle back in).
+    _prefilter = (
+        threshold > 0
+        and isinstance(_stats["lo"], int)
+        and isinstance(_stats["hi"], int)
+        and (_stats["hi"] - _stats["lo"]) <= 1_000_000
+    )
     # docs is sorted ascending, so the nested i<j expansion emits each
     # unordered pair once with id_a < id_b -- exactly the rows of the
     # old a.hkey = b.hkey AND a.doc_id < b.doc_id self-join. Lambdas
-    # reference only the cached `docs` column, never a derived subtree.
-    # When both ids fit in 31 bits (checked against the REAL id range
-    # above -- bijective, so result-identical), the pair travels as ONE
-    # packed long: a narrower exchange, and the single-long groupBy key
-    # takes the codegen fast-map path instead of 2-field row hashing.
+    # reference only the cached `docs` column (or bound lambda
+    # variables), never a derived subtree. When both ids fit in 31 bits
+    # (checked against the REAL id range above -- bijective, so
+    # result-identical), the pair travels as ONE packed long: a
+    # narrower exchange, and the single-long groupBy key takes the
+    # codegen fast-map path instead of 2-field row hashing.
     if _packable:
         pair_items = F.flatten(
             F.transform(
@@ -188,6 +222,22 @@ def ngram_jaccard_pairs(
         min(4096, int((_stats["n_pairs"] or 0) // 1_000_000) + 1),
     )
     exploded = lists.select(F.explode(pair_items).alias("p"))
+    if _prefilter:
+        if _packable:
+            ida = F.shiftrightunsigned("p", 32)
+            idb = F.col("p").bitwiseAND(F.lit((1 << 32) - 1))
+        else:
+            ida, idb = F.col("p.id_a"), F.col("p.id_b")
+        sz_a = sizes.select(F.col("doc_id").alias("_pa"), F.col("n_sh").alias("_na"))
+        sz_b = sizes.select(F.col("doc_id").alias("_pb"), F.col("n_sh").alias("_nb"))
+        exploded = (
+            exploded.join(F.broadcast(sz_a), ida == F.col("_pa"))
+            .join(F.broadcast(sz_b), idb == F.col("_pb"))
+            .filter(
+                F.least("_na", "_nb") >= threshold * F.greatest("_na", "_nb") - 1e-9
+            )
+            .select("p")
+        )
     if _packable:
         common = (
             exploded.repartition(n_pair_parts, "p")

@@ -111,3 +111,33 @@ def test_ngram_packed_and_struct_pair_paths_agree(spark):
         for r in dedup.ngram_jaccard_pairs(hi, threshold=0.2).collect()
     )
     assert got_lo and got_lo == got_hi
+
+
+def test_ngram_length_prefilter_on_off_paths_agree(spark):
+    """The sound length-filter pre-prune only engages when the id range
+    proves `sizes` broadcastable (<= 1M wide). Spreading the same docs
+    over a >1M id range turns it off; both paths must yield the
+    identical pair set (the filter is a provably-redundant prune, never
+    a semantic change)."""
+    base = [
+        (i, t * 3)
+        for i, (_, t) in enumerate(EDGE_TEXTS)
+        if t and len(t.split()) >= 3
+    ]
+    dense = spark.createDataFrame(base, ["doc_id", "text"])
+    stride = 2_000_000  # range > 1M -> prefilter off, still packable
+    sparse = spark.createDataFrame(
+        [(i * stride, t) for i, t in base], ["doc_id", "text"]
+    )
+    for thr in (0.2, 0.5, 0.8):
+        got_on = sorted(
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in dedup.ngram_jaccard_pairs(dense, threshold=thr).collect()
+        )
+        got_off = sorted(
+            (r["id_a"] // stride, r["id_b"] // stride, r["jaccard"])
+            for r in dedup.ngram_jaccard_pairs(sparse, threshold=thr).collect()
+        )
+        assert got_on == got_off
+        if thr == 0.2:
+            assert got_on
