@@ -10,7 +10,7 @@ window-parser pUDF (N1-N8) applied to exploded mention windows.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -124,10 +124,25 @@ def resolve_municipio(
 
     gated = counts.join(doc_branch, ["doc_id", "branch_id"])
 
-    w = Window.partitionBy("doc_id").orderBy(F.desc("cnt"), F.asc("alias_rank"))
+    # argmax as a row-group min over (-cnt, alias_rank) structs -- the
+    # lexicographic struct order IS the window's (desc cnt, asc
+    # alias_rank) sort, and alias_rank is unique within a doc's single
+    # branch, so the winner is identical to the old row_number pick
+    # while the per-doc sort disappears and the exchange carries
+    # map-side-combined partial minima (the vote_top1 r7 rewrite,
+    # applied to the reference vote)
     winners = (
-        gated.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        gated.groupBy("doc_id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("cnt")).alias("neg_cnt"),
+                    F.col("alias_rank").alias("alias_rank"),
+                    F.col("branch_id").alias("branch_id"),
+                )
+            ).alias("w")
+        )
+        .select("doc_id", F.col("w.branch_id").alias("branch_id"), F.col("w.alias_rank").alias("alias_rank"))
         .join(F.broadcast(dims["muni_alias"]), ["branch_id", "alias_rank"], "left")
         .select("doc_id", F.coalesce("muni_canonical", F.lit("")).alias("municipio"))
     )
@@ -154,13 +169,33 @@ def parse_mentions(extracted: DataFrame) -> DataFrame:
 
 def first_parsed(parsed: DataFrame) -> DataFrame:
     """First-non-empty selection in reference iteration order (anchor
-    rank, then position -- A3), pivoted to one row per doc."""
-    w = Window.partitionBy("doc_id", "field").orderBy("anchor_rank", "span_start")
-    firsts = parsed.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    rank, then position -- A3), pivoted to one row per doc.
+
+    The selection is min(struct(anchor_rank, span_start, parsed))
+    folded INTO the pivot aggregate: one doc_id-keyed exchange with
+    map-side partial minima replaces the old (doc_id, field) window
+    (exchange + per-group sort + rn=1 filter) followed by a second
+    pivot exchange. (anchor_rank, span_start) pairs are unique per
+    (doc, field) in reference semantics -- two mentions cannot share
+    an anchor occurrence -- so the struct min picks exactly the old
+    window's first row; the parsed field only pads the struct, it
+    cannot decide."""
     return (
-        firsts.groupBy("doc_id")
+        parsed.groupBy("doc_id")
         .pivot("field", PARSED_FIELDS)
-        .agg(F.first("parsed"))
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("anchor_rank").alias("r"),
+                    F.col("span_start").alias("s"),
+                    F.col("parsed").alias("p"),
+                )
+            )
+        )
+        .select(
+            "doc_id",
+            *[F.col(f"{f}.p").alias(f) for f in PARSED_FIELDS],
+        )
     )
 
 

@@ -113,6 +113,70 @@ def test_ngram_packed_and_struct_pair_paths_agree(spark):
     assert got_lo and got_lo == got_hi
 
 
+def test_first_parsed_struct_min_equals_window_form(spark):
+    """first_parsed's pivoted min(struct(anchor_rank, span_start,
+    parsed)) must pick exactly the old window's rn=1 row on tie-free
+    data (the reference guarantees (anchor_rank, span_start) is unique
+    per (doc, field))."""
+    from pyspark.sql import Window
+
+    from structured_data_entity_extraction_spark import link as L
+
+    rows = [
+        # doc 1: colonia picks rank 0 over rank 1; calle picks earlier span
+        (1, "colonia", 1, 5, "late"),
+        (1, "colonia", 0, 9, "win-rank"),
+        (1, "calle", 2, 30, "late-span"),
+        (1, "calle", 2, 10, "win-span"),
+        (2, "fecha", 3, 0, "only"),
+        # doc 3: no parsed fields at all never reaches first_parsed
+        (3, "valor", 1, 4, "v1"),
+        (3, "valor", 1, 2, "v0"),
+    ]
+    parsed = spark.createDataFrame(
+        rows, ["doc_id", "field", "anchor_rank", "span_start", "parsed"]
+    )
+    w = Window.partitionBy("doc_id", "field").orderBy("anchor_rank", "span_start")
+    old = (
+        parsed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .groupBy("doc_id")
+        .pivot("field", L.PARSED_FIELDS)
+        .agg(F.first("parsed"))
+    )
+    new = L.first_parsed(parsed)
+    assert sorted(map(tuple, old.collect())) == sorted(map(tuple, new.collect()))
+
+
+def test_resolve_municipio_agg_equals_window_form(spark):
+    """The muni argmax min(struct(-cnt, alias_rank)) must equal the old
+    desc(cnt), asc(alias_rank) window winner (alias_rank is unique
+    within a doc's single branch)."""
+    from structured_data_entity_extraction_spark import link as L
+
+    dims = L.dim_frames(spark)
+    # synthetic extracted frame: doc 1 votes branch via estado lookup
+    state = dims["state_branch"].limit(1).collect()[0]
+    ext = spark.createDataFrame(
+        [
+            (1, [(state["branch_id"], 0, 2), (state["branch_id"], 1, 5), (state["branch_id"], 2, 5)]),
+        ],
+        "doc_id long, muni_counts array<struct<branch_id:int,alias_rank:int,cnt:int>>",
+    ).select("doc_id", F.struct(F.col("muni_counts").alias("muni_counts")).alias("ext"))
+    estado_df = spark.createDataFrame([(1, state["state"])], ["doc_id", "estado"])
+    got = L.resolve_municipio(ext, estado_df, dims).collect()
+    # desc cnt picks the cnt=5 pair; asc alias_rank breaks the tie -> rank 1
+    want = (
+        dims["muni_alias"]
+        .filter(
+            (F.col("branch_id") == state["branch_id"]) & (F.col("alias_rank") == 1)
+        )
+        .collect()
+    )
+    want_muni = want[0]["muni_canonical"] if want else ""
+    assert len(got) == 1 and got[0]["municipio"] == (want_muni or "")
+
+
 def test_ngram_length_prefilter_on_off_paths_agree(spark):
     """The sound length-filter pre-prune only engages when the id range
     proves `sizes` broadcastable (<= 1M wide). Spreading the same docs
