@@ -61,8 +61,17 @@ def lang_id_cols(text: Column) -> list[Column]:
 def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """argmax language with deterministic tiebreak (lang name asc);
     no hits -> 'und'. The when-chain mirrors the DuckDB oracle's CASE:
-    first lang in sorted order whose score equals the max wins."""
-    scored = df.select("*", *lang_id_cols(F.col(text_col)))
+    first lang in sorted order whose score equals the max wins.
+
+    The marker scoring runs 20 regexp_extract_all passes per row --
+    heavy enough that a single-file corpus scanning as 1-2 splits
+    serializes the whole operator (measured 5.0 s -> 0.8 s at 50k docs
+    on 32 cores from the spread alone); like minhash/ngram, the
+    round-robin only fires when splits < cores, so a real multi-file
+    corpus never pays the exchange (guide §2.5 input skew)."""
+    from .dedup import _ensure_parallelism
+
+    scored = _ensure_parallelism(df).select("*", *lang_id_cols(F.col(text_col)))
     langs = sorted(LANG_MARKERS)
     best = F.greatest(*[F.col(f"score_{l}") for l in langs])
     pick = F.when(best == 0, F.lit("und"))
