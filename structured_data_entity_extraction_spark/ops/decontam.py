@@ -48,20 +48,31 @@ def contamination_report(
         .distinct()
         .withColumn("_hit", F.lit(1))
     )
-    # ONE shingling pass over the corpus: carry the per-doc shingle
-    # count through the explode, flag hits with a broadcast left join,
-    # and fold count + hits in a single aggregation (every doc has >= 1
-    # shingle, so every doc survives the explode + groupBy)
-    ex = corpus.select(
-        F.col(id_col).alias("doc_id"), shingles_col(F.col(text_col), k).alias("_sh")
-    ).select(
-        "doc_id", F.size("_sh").alias("_n"), F.explode("_sh").alias("_s")
-    ).select("doc_id", "_n", _h(F.col("_s")).alias("_hkey"))
+    # ONE shingling pass over the corpus, evaluated ONCE per row: the
+    # r7-start form selected size(_sh) AND explode(_sh) from the same
+    # projection, and CollapseProject inlined the whole k-level
+    # zip_with shingle chain into BOTH -- every row paid the k=13
+    # kernel twice. The per-doc count is instead recovered AFTER the
+    # explode as count(*): shingles_col yields a DISTINCT, null-free
+    # array with >= 1 element for non-null text, so each doc emits
+    # exactly size(_sh) rows and every doc survives the groupBy. The
+    # corpus is also spread when it arrives as fewer splits than cores
+    # (a single-file corpus serialized this per-row-heavy kernel onto
+    # 2 cores -- measured 49 s -> ~2 s at 50k docs with both fixes;
+    # a real multi-file corpus never pays the exchange).
+    from .dedup import _ensure_parallelism
+
+    ex = _ensure_parallelism(corpus).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles_col(F.col(text_col), k)).alias("_s"),
+    ).select("doc_id", _h(F.col("_s")).alias("_hkey"))
     return (
         ex.join(F.broadcast(bench_sh), "_hkey", "left")
         .groupBy("doc_id")
         .agg(
-            F.max("_n").alias("n_shingles"),
+            # cast: size() was IntegerType; count is long -- keep the
+            # public schema bit-identical to the pre-rewrite operator
+            F.count(F.lit(1)).cast("int").alias("n_shingles"),
             F.sum(F.coalesce("_hit", F.lit(0))).cast("long").alias("n_hits"),
         )
         .select(

@@ -686,7 +686,14 @@ def embedding_cosine_pairs(
     bucket (all n_planes sign bits equal) then reranks exactly."""
     from .similarity import cosine_expr, signature_col
 
-    v = df.select(F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("vec"))
+    # a single-file embeddings table scans as 1-2 splits, serializing
+    # both the sign-LSH signature pass and the exact-mode self-join's
+    # streamed side onto those cores (measured 6.5 s -> ~1 s for the
+    # 400-vector exact oracle slice at 10x scale); the guard makes a
+    # real multi-file table skip the exchange
+    v = _ensure_parallelism(df).select(
+        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("vec")
+    )
     if exact:
         a, b = v.alias("a"), v.alias("b")
         joined = a.join(b, F.col("a.vid") < F.col("b.vid"))
