@@ -36,6 +36,10 @@ def _ensure_parallelism(df: DataFrame) -> DataFrame:
     serialize the CPU-heavy per-row stages (shingling, 16x md5); a
     real multi-file table at scale already has enough partitions and
     skips the shuffle entirely."""
+    if df.isStreaming:
+        # .rdd is undefined on streaming frames; micro-batch inputs get
+        # their parallelism from the source anyway
+        return df
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)

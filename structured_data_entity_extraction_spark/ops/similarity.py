@@ -343,6 +343,9 @@ def lsh_topk(
 ) -> DataFrame:
     """Approximate top-k: candidates share the query's sign bucket (or a
     hamming-1 neighbor bucket when multiprobe), exact cosine rerank."""
+    from .dedup import _ensure_parallelism
+
+    corpus = _ensure_parallelism(corpus)
     c = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("cvec"),
