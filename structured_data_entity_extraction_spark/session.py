@@ -35,7 +35,15 @@ DEFAULT_CONF = {
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.sql.session.timeZone": "UTC",
     "spark.ui.enabled": "false",
-    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+    # local-mode sizing: this ONE JVM hosts the driver plus all N task
+    # slots' execution memory plus every operator cache, so the old 8g
+    # default left ~256 MB/slot at local[32] and GC-thrashed the
+    # larger-SF bench (measured: the 10x-corpus artifact total fell
+    # 30.9 -> 26.1 s and its median-over-best 1.18 -> 1.07 from this
+    # alone; sf0.1 is unaffected). 20g is ~15% of the 128 GiB sandbox;
+    # still env-overridable. On a real cluster executor memory is per
+    # node and set via spark-submit, not this local default.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "20g"),
     # shuffle/spill scratch: tmpfs when available (local-mode shuffle
     # writes otherwise bottleneck on the VM's shared disk)
     "spark.local.dir": os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/tmp"),
