@@ -161,8 +161,15 @@ def parse_mentions(extracted: DataFrame) -> DataFrame:
     mentions = mentions.filter(
         ~((F.col("field") == "valor") & F.col("window").contains("Geo"))
     )
+    # guide §4.4: the trim(parsed) != '' filter references the pUDF's
+    # output column, and the optimizer pushes a COPY of the filter
+    # below the projection -- two ArrowEvalPython nodes, every window
+    # parsed twice in Python (plan-verified before the fix). Marking
+    # the (genuinely deterministic) parser non-deterministic forbids
+    # the duplication; one evaluation, identical results.
     parsed = mentions.withColumn(
-        "parsed", parse_window_udf(F.col("field"), F.col("window"))
+        "parsed",
+        parse_window_udf.asNondeterministic()(F.col("field"), F.col("window")),
     )
     return parsed.filter(F.trim(F.col("parsed")) != "")
 
